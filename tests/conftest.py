@@ -1,0 +1,33 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so the
+multi-chip sharding paths compile and run without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_TESTFILES = pathlib.Path("/root/reference/TestFiles")
+
+
+@pytest.fixture(scope="session")
+def testfiles():
+    if not REFERENCE_TESTFILES.exists():
+        pytest.skip("reference test files not available")
+    return sorted(REFERENCE_TESTFILES.glob("*.ogg"))
+
+
+@pytest.fixture(scope="session")
+def testfile1():
+    p = REFERENCE_TESTFILES / "1test.ogg"
+    if not p.exists():
+        pytest.skip("1test.ogg not available")
+    return p

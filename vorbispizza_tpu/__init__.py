@@ -1,0 +1,9 @@
+"""vorbispizza_tpu — a TPU-native Ogg Vorbis decode framework.
+
+Built from scratch in JAX/XLA/Pallas with the capability surface of
+TechPizzaDev/VorbisPizza (see SURVEY.md). Host side: Ogg framing, packet
+assembly, setup parsing, Huffman/VQ entropy decode. Device side: batched
+floor synthesis, coupling inverse, IMDCT, windowed overlap-add.
+"""
+
+__version__ = "0.1.0"

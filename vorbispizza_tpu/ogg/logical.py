@@ -1,0 +1,362 @@
+"""Logical Ogg stream: per-serial page index, packet assembly across page
+continuations, and granule-position seeking.
+
+Behavior parity with reference NVorbis/Ogg/StreamPageReader.cs:8 (page index,
+granule monotonicity check, FindPage) and Ogg/PacketProvider.cs:11 (packet
+assembly CreatePacket:427, seek SeekTo:56, page end-granule cache
+FillPageEndGranuleCache:203, GetGranuleCount:35).
+
+Architecture difference from the reference: packets are addressed by
+(page, k) where k counts packets *starting* on that page, and seeking builds
+a whole-stream per-packet granule table once (an O(packets) pass, the same
+work the reference's FillPageEndGranuleCache does lazily) then bisects in
+memory. The table is re-anchored to page granule positions in a backward
+pass, which reproduces the reference's end-trim and initial-offset handling
+(StreamDecoder.cs:657-666, PacketProvider.cs:203-307). The same table is the
+frame table consumed by the TPU batch front end.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+from ..errors import InvalidDataError, SeekOutOfRangeError
+from .page import Page
+
+
+@dataclass(frozen=True)
+class Packet:
+    """One assembled Vorbis packet."""
+
+    data: bytes
+    granule: int  # end-page granule if this packet is the last to complete there
+    is_resync: bool
+    is_end_of_stream: bool
+    page_index: int  # page the packet starts on
+    packet_index: int  # index among packets starting on that page
+
+
+@dataclass
+class _PageMeta:
+    offset: int
+    granule: int
+    sequence: int
+    flags: int
+    n_slices: int
+    n_starts: int  # packets starting on this page
+    continues_packet: bool
+    last_incomplete: bool
+    is_resync: bool
+
+
+@dataclass
+class GranuleTable:
+    """Per-packet sample spans for one logical stream (audio packets only)."""
+
+    page_idx: list[int]
+    packet_idx: list[int]
+    start: list[int]
+    end: list[int]
+
+    @property
+    def total(self) -> int:
+        return (self.end[-1] - self.start[0]) if self.end else 0
+
+
+class LogicalStream:
+    """All pages sharing one serial number, in arrival order."""
+
+    PAYLOAD_CACHE = 64
+
+    def __init__(self, container, serial: int):
+        self._container = container
+        self.serial = serial
+        self.pages: list[_PageMeta] = []
+        self._payloads: dict[int, Page] = {}
+        self._payload_order: list[int] = []
+        self.saw_eos = False
+        self.first_data_page: int | None = None  # set by the decoder after headers
+        self._max_seen_sequence = -1
+        self._max_seen_granule = -1
+        self.provider: "PacketProvider | None" = None
+
+    # -- page intake (pushed by the container's sequential scan) -------------
+
+    def add_page(self, page: Page) -> None:
+        is_resync = page.is_resync
+        if self._max_seen_sequence >= 0 and page.sequence != self._max_seen_sequence + 1:
+            # sequence gap: pages were lost (reference StreamPageReader.cs:87-97
+            # marks this with a negative offset)
+            is_resync = True
+        self._max_seen_sequence = page.sequence
+        if page.granule >= 0:
+            if page.granule < self._max_seen_granule and not is_resync:
+                raise InvalidDataError(
+                    f"granule position regressed on page {page.sequence} "
+                    f"({page.granule} < {self._max_seen_granule})"
+                )  # reference StreamPageReader.cs:67-71
+            self._max_seen_granule = max(self._max_seen_granule, page.granule)
+        if page.is_eos:
+            self.saw_eos = True
+        n_slices = len(page.packet_slices)
+        n_starts = n_slices - (1 if page.continues_packet and n_slices else 0)
+        idx = len(self.pages)
+        self.pages.append(
+            _PageMeta(
+                offset=page.offset,
+                granule=page.granule,
+                sequence=page.sequence,
+                flags=page.flags,
+                n_slices=n_slices,
+                n_starts=n_starts,
+                continues_packet=page.continues_packet,
+                last_incomplete=page.last_incomplete,
+                is_resync=is_resync,
+            )
+        )
+        self._cache_payload(idx, page)
+
+    def _cache_payload(self, idx: int, page: Page) -> None:
+        self._payloads[idx] = page
+        self._payload_order.append(idx)
+        if len(self._payload_order) > self.PAYLOAD_CACHE:
+            old = self._payload_order.pop(0)
+            if old not in self._payloads:
+                return
+            if self._container.seekable:
+                del self._payloads[old]
+            else:
+                # forward-only: only evict pages the reader has moved past
+                cursor = self.provider._page_cursor if self.provider else 0
+                if old < cursor:
+                    del self._payloads[old]
+                else:
+                    self._payload_order.insert(0, old)
+
+    # -- page access ----------------------------------------------------------
+
+    def ensure_page(self, idx: int) -> bool:
+        """Grow the index until page ``idx`` exists. Returns False at EOS."""
+        while idx >= len(self.pages):
+            if not self._container.scan_into(self):
+                return False
+        return True
+
+    def get_page(self, idx: int) -> Page:
+        if not self.ensure_page(idx):
+            raise IndexError(idx)
+        pg = self._payloads.get(idx)
+        if pg is None:
+            meta = self.pages[idx]
+            pg = self._container.scanner.read_page_at(meta.offset)
+            if pg is None:
+                raise InvalidDataError(f"page at offset {meta.offset} vanished")
+            self._cache_payload(idx, pg)
+        return pg
+
+    def ensure_all_pages(self) -> None:
+        while self._container.scan_into(self):
+            pass
+
+    @property
+    def max_granule(self) -> int:
+        """End granule of the final page (requires full index); reference
+        StreamPageReader.MaxGranulePosition:452."""
+        self.ensure_all_pages()
+        for meta in reversed(self.pages):
+            if meta.granule >= 0:
+                return meta.granule
+        return 0
+
+
+_LOST = object()  # sentinel: packet start consumed by a resync gap
+
+
+class PacketProvider:
+    """Pull-based packet iterator + seek engine for one logical stream.
+
+    Public-surface parity with reference Contracts/IPacketProvider.cs:9
+    (GetNextPacket, SeekTo, GetGranuleCount).
+    """
+
+    def __init__(self, stream: LogicalStream):
+        self._s = stream
+        stream.provider = self
+        self._page_cursor = 0
+        self._packet_cursor = 0  # among packets *starting* on the page
+        self._pending_resync = False
+        self._granule_table: GranuleTable | None = None
+
+    @property
+    def serial(self) -> int:
+        return self._s.serial
+
+    # -- iteration -------------------------------------------------------------
+
+    def get_next_packet(self) -> Packet | None:
+        s = self._s
+        while True:
+            if not s.ensure_page(self._page_cursor):
+                return None
+            meta = s.pages[self._page_cursor]
+            if meta.is_resync and self._packet_cursor == 0:
+                # only the first packet after the gap reports the resync
+                # (reference VorbisPacket.IsResync semantics)
+                self._pending_resync = True
+            if self._packet_cursor >= meta.n_starts:
+                self._page_cursor += 1
+                self._packet_cursor = 0
+                continue
+            pkt = self._assemble(self._page_cursor, self._packet_cursor)
+            self._packet_cursor += 1
+            if pkt is _LOST:
+                self._pending_resync = True
+                continue
+            if pkt is None:
+                return None  # truncated at end of stream
+            if self._pending_resync:
+                pkt = Packet(pkt.data, pkt.granule, True, pkt.is_end_of_stream,
+                             pkt.page_index, pkt.packet_index)
+            self._pending_resync = False
+            return pkt
+
+    def peek_next_packet(self) -> Packet | None:
+        save = (self._page_cursor, self._packet_cursor, self._pending_resync)
+        pkt = self.get_next_packet()
+        (self._page_cursor, self._packet_cursor, self._pending_resync) = save
+        return pkt
+
+    def _assemble(self, page_idx: int, packet_idx: int):
+        """Build the ``packet_idx``-th packet *starting* on ``page_idx``.
+
+        Returns a Packet, None (stream truncated mid-packet), or _LOST (the
+        packet's continuation was severed by a resync; reference drops these,
+        PacketProvider.CreatePacket:427).
+        """
+        s = self._s
+        page = s.get_page(page_idx)
+        meta = s.pages[page_idx]
+        slice_idx = packet_idx + (1 if meta.continues_packet else 0)
+        if slice_idx >= meta.n_slices:
+            return None
+        start, length = page.packet_slices[slice_idx]
+        parts = [page.payload[start : start + length]]
+        end_page_idx = page_idx
+        end_slice_idx = slice_idx
+        cur_meta = meta
+        # Follow continuation across pages while the current slice is the
+        # page's last and it is incomplete.
+        while end_slice_idx == cur_meta.n_slices - 1 and cur_meta.last_incomplete:
+            nxt_idx = end_page_idx + 1
+            if not s.ensure_page(nxt_idx):
+                return None
+            nxt_meta = s.pages[nxt_idx]
+            if not nxt_meta.continues_packet or nxt_meta.is_resync:
+                return _LOST
+            nxt_page = s.get_page(nxt_idx)
+            st, ln = nxt_page.packet_slices[0]
+            parts.append(nxt_page.payload[st : st + ln])
+            end_page_idx, end_slice_idx = nxt_idx, 0
+            cur_meta = nxt_meta
+
+        end_meta = s.pages[end_page_idx]
+        # last slice index on the end page that completes a packet
+        last_completing = end_meta.n_slices - (2 if end_meta.last_incomplete else 1)
+        is_last_completed = end_slice_idx == last_completing
+        granule = end_meta.granule if is_last_completed and end_meta.granule >= 0 else -1
+        is_eos = bool(end_meta.flags & 0x04) and is_last_completed
+        return Packet(
+            data=b"".join(parts),
+            granule=granule,
+            is_resync=False,
+            is_end_of_stream=is_eos,
+            page_index=page_idx,
+            packet_index=packet_idx,
+        )
+
+    def get_packet_at(self, page_idx: int, packet_idx: int) -> Packet | None:
+        pkt = self._assemble(page_idx, packet_idx)
+        return None if pkt is _LOST or pkt is None else pkt
+
+    # -- granule table -----------------------------------------------------------
+
+    def build_granule_table(self, count_packet) -> GranuleTable:
+        """Measure every audio packet's sample span (reference
+        FillPageEndGranuleCache:203 measures via GetPacketGranuleCount).
+
+        ``count_packet(Packet) -> int`` parses only the mode header.
+        """
+        if self._granule_table is not None:
+            return self._granule_table
+        s = self._s
+        s.ensure_all_pages()
+        first_data = s.first_data_page or 0
+        pages_i: list[int] = []
+        packets_i: list[int] = []
+        counts: list[int] = []
+        anchors: list[int] = []  # page end-granule where packet completes, else -1
+        pi, ki = first_data, 0
+        while pi < len(s.pages):
+            meta = s.pages[pi]
+            if ki >= meta.n_starts:
+                pi += 1
+                ki = 0
+                continue
+            pkt = self._assemble(pi, ki)
+            if pkt is None:
+                break
+            if pkt is not _LOST:
+                pages_i.append(pi)
+                packets_i.append(ki)
+                counts.append(max(count_packet(pkt), 0))
+                anchors.append(pkt.granule)
+            ki += 1
+        if counts:
+            counts[0] = 0  # first audio packet primes lapping, emits nothing
+        # Backward anchoring to page granules: reproduces end-trim and
+        # initial-offset semantics.
+        n = len(counts)
+        end = [0] * n
+        nxt_start = None
+        for i in range(n - 1, -1, -1):
+            if anchors[i] >= 0:
+                end[i] = anchors[i]
+            elif nxt_start is not None:
+                end[i] = nxt_start
+            else:
+                end[i] = sum(counts[: i + 1])  # no trailing anchor at all
+            nxt_start = max(end[i] - counts[i], 0)
+        starts = [max(end[i] - counts[i], 0) for i in range(n)]
+        self._granule_table = GranuleTable(pages_i, packets_i, starts, end)
+        return self._granule_table
+
+    def invalidate_granule_table(self) -> None:
+        self._granule_table = None
+
+    # -- seeking ---------------------------------------------------------------
+
+    def seek_to_granule(self, granule: int, preroll: int, count_packet) -> int:
+        """Position the cursor ``preroll`` packets before the packet containing
+        sample ``granule``; returns the start granule of the target packet
+        (reference PacketProvider.SeekTo:56)."""
+        if granule < 0:
+            raise SeekOutOfRangeError(str(granule))
+        table = self.build_granule_table(count_packet)
+        if not table.end:
+            raise SeekOutOfRangeError(str(granule))
+        if granule > table.end[-1]:
+            raise SeekOutOfRangeError(str(granule))
+        # first packet whose end granule exceeds the target
+        idx = bisect.bisect_right(table.end, granule)
+        if idx >= len(table.end):
+            idx = len(table.end) - 1
+        target_start = table.start[idx]
+        j = max(idx - preroll, 0)
+        self._page_cursor = table.page_idx[j]
+        self._packet_cursor = table.packet_idx[j]
+        self._pending_resync = False
+        return target_start
+
+    def get_granule_count(self, count_packet) -> int:
+        return self.build_granule_table(count_packet).total
