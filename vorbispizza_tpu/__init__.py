@@ -7,3 +7,27 @@ floor synthesis, coupling inverse, IMDCT, windowed overlap-add.
 """
 
 __version__ = "0.1.0"
+
+from .decoder import StreamDecoder
+from .errors import (
+    EndOfStreamError,
+    InvalidDataError,
+    PrerollPacketError,
+    SeekOutOfRangeError,
+    VorbisError,
+)
+from .reader import VorbisReader
+from .stats import StreamStats
+from .tags import TagData
+
+__all__ = [
+    "StreamDecoder",
+    "VorbisReader",
+    "StreamStats",
+    "TagData",
+    "VorbisError",
+    "InvalidDataError",
+    "EndOfStreamError",
+    "SeekOutOfRangeError",
+    "PrerollPacketError",
+]

@@ -74,12 +74,17 @@ class OggContainer:
             stream = LogicalStream(self, serial)
             provider = PacketProvider(stream)
             stream.add_page(page)
+            # register BEFORE the callback: the callback typically pulls
+            # header packets, which re-enters the scan loop (reference keeps
+            # the same inversion, ContainerReader.cs:106-124)
+            self._active[serial] = stream
+            self.providers.append(provider)
             if self.new_stream_callback is not None:
                 if not self.new_stream_callback(provider):
                     self._ignored.add(serial)
+                    self._active.pop(serial, None)
+                    self.providers.remove(provider)
                     return True
-            self._active[serial] = stream
-            self.providers.append(provider)
         else:
             stream.add_page(page)
         if page.is_eos:

@@ -314,21 +314,37 @@ class PacketProvider:
             ki += 1
         if counts:
             counts[0] = 0  # first audio packet primes lapping, emits nothing
-        # Backward anchoring to page granules: reproduces end-trim and
-        # initial-offset semantics.
+        # Anchoring semantics (libvorbis-compatible, verified vs oracle):
+        # - start offset comes from the FIRST anchored packet: if its granule
+        #   exceeds the forward-accumulated count, the stream starts late
+        #   (issue6test: +63); if smaller, samples are trimmed at the END of
+        #   that span, not the start.
+        # - mid-stream anchors re-sync the position (resync gaps).
+        # - the FINAL anchor clamps all trailing ends (encoder end-trim may
+        #   span several packets of the last page).
         n = len(counts)
+        start = [0] * n
         end = [0] * n
-        nxt_start = None
-        for i in range(n - 1, -1, -1):
+        first_anchor = next((i for i in range(n) if anchors[i] >= 0), None)
+        pos = 0
+        if first_anchor is not None:
+            lead = sum(counts[: first_anchor + 1])
+            pos = max(anchors[first_anchor] - lead, 0)
+        for i in range(n):
+            start[i] = pos
+            pos += counts[i]
             if anchors[i] >= 0:
-                end[i] = anchors[i]
-            elif nxt_start is not None:
-                end[i] = nxt_start
-            else:
-                end[i] = sum(counts[: i + 1])  # no trailing anchor at all
-            nxt_start = max(end[i] - counts[i], 0)
-        starts = [max(end[i] - counts[i], 0) for i in range(n)]
-        self._granule_table = GranuleTable(pages_i, packets_i, starts, end)
+                pos = anchors[i]  # trust the container at every page boundary
+            end[i] = max(pos, start[i])
+        last_anchor = next((i for i in range(n - 1, -1, -1) if anchors[i] >= 0), None)
+        if last_anchor is not None:
+            final = anchors[last_anchor]
+            for i in range(n - 1, -1, -1):
+                if end[i] <= final and start[i] <= final:
+                    break
+                end[i] = min(end[i], final)
+                start[i] = min(start[i], final)
+        self._granule_table = GranuleTable(pages_i, packets_i, start, end)
         return self._granule_table
 
     def invalidate_granule_table(self) -> None:
