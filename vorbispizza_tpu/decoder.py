@@ -132,7 +132,7 @@ class StreamDecoder:
     def total_samples(self) -> int:
         if self._total_samples is None:
             self._total_samples = self._provider.get_granule_count(
-                self.get_packet_granule_count
+                self.get_packet_blocksize
             )
         return self._total_samples
 
@@ -151,18 +151,16 @@ class StreamDecoder:
 
     # -- packet measurement (reference GetPacketGranuleCount:882) --------------------
 
-    def get_packet_granule_count(self, packet: Packet) -> int:
+    def get_packet_blocksize(self, packet: Packet) -> int:
+        """Blocksize of an audio packet from its mode header alone; 0 if the
+        packet is not decodable audio."""
         br = BitReader(packet.data)
-        if br.read_bit():
+        if not packet.data or br.read_bit():
             return 0  # not an audio packet
         mode_idx = br.read_bits(self._setup.mode_bits)
         if mode_idx >= len(self._setup.modes) or br.overrun:
             return 0
-        mode = self._setup.modes[mode_idx]
-        prev_flag, next_flag = mode.read_window_flags(br)
-        if br.overrun:
-            return 0
-        return mode.window_info(prev_flag, next_flag).sample_count
+        return self._setup.modes[mode_idx].n
 
     # -- packet decode ----------------------------------------------------------------
 
@@ -276,16 +274,34 @@ class StreamDecoder:
             excess -= cut
 
     def _overlap(self, time: np.ndarray, info: WindowInfo) -> np.ndarray:
-        """Overlap-add with the previous frame's tail; returns finished
-        samples [ch, info.sample_count]."""
-        out = time[:, info.left_start : info.right_start].copy()
-        if self._prev_tail is not None:
-            tail = self._prev_tail
-            k = min(tail.shape[1], out.shape[1])
-            out[:, :k] += tail[:, :k]
-        else:
-            out = out[:, :0]  # first packet (or post-seek/resync): primes only
-        self._prev_tail = time[:, info.right_start : info.right_end].copy()
+        """Overlap-add with the previous frame's tail; returns the finished
+        samples.
+
+        Emission boundary is the window CENTER (libvorbis convention): each
+        packet emits (prev_n + n)/4 samples, so page granule positions match
+        the running count at every page boundary — including long->short
+        transitions, where the reference's right_start convention transiently
+        disagrees with encoder granules (StreamDecoder.cs:658 ignores them;
+        we rely on them for seeks and batch framing, so we match libvorbis).
+        The carried tail is frame[center:right_end] — the decaying slope plus
+        any flat region beyond the center.
+        """
+        center = info.n // 2
+        cur = time[:, info.left_start : center]
+        new_tail = time[:, center : info.right_end].copy()
+        if self._prev_tail is None:
+            self._prev_tail = new_tail
+            return time[:, :0]  # first packet (or post-seek/resync): primes only
+        tail = self._prev_tail
+        tl = tail.shape[1]
+        out_len = tl + center - info.left_end
+        out = np.zeros((time.shape[0], max(out_len, 0)), dtype=time.dtype)
+        k = min(tl, out.shape[1])
+        out[:, :k] += tail[:, :k]
+        cw = cur.shape[1]
+        if cw and out.shape[1] >= cw:
+            out[:, out.shape[1] - cw :] += cur
+        self._prev_tail = new_tail
         return out
 
     # -- reading -------------------------------------------------------------------
@@ -345,7 +361,7 @@ class StreamDecoder:
             raise SeekOutOfRangeError(str(sample_position))
         base = self._base_granule()
         target_start = self._provider.seek_to_granule(
-            sample_position + base, preroll=1, count_packet=self.get_packet_granule_count
+            sample_position + base, preroll=1, blocksize_of=self.get_packet_blocksize
         )
         self._reset_decoder()
         # preroll packet primes lapping; then roll forward inside the target
@@ -362,7 +378,7 @@ class StreamDecoder:
         """Granule of the first decodable sample (nonzero for start-trimmed
         streams like issue6test)."""
         if self._base is None:
-            table = self._provider.build_granule_table(self.get_packet_granule_count)
+            table = self._provider.build_granule_table(self.get_packet_blocksize)
             self._base = table.start[0] if table.start else 0
         return self._base
 

@@ -281,11 +281,16 @@ class PacketProvider:
 
     # -- granule table -----------------------------------------------------------
 
-    def build_granule_table(self, count_packet) -> GranuleTable:
+    def build_granule_table(self, blocksize_of) -> GranuleTable:
         """Measure every audio packet's sample span (reference
         FillPageEndGranuleCache:203 measures via GetPacketGranuleCount).
 
-        ``count_packet(Packet) -> int`` parses only the mode header.
+        ``blocksize_of(Packet) -> int`` parses only the mode header; returns
+        0 for undecodable packets. Per the Vorbis granule convention a packet
+        contributes (prev_blocksize + blocksize)/4 samples — the emission
+        boundary is the window center (matches libvorbis page granules at
+        every boundary, including long->short transitions; the reference
+        instead ignores mid-stream granules, StreamDecoder.cs:658).
         """
         if self._granule_table is not None:
             return self._granule_table
@@ -296,6 +301,7 @@ class PacketProvider:
         packets_i: list[int] = []
         counts: list[int] = []
         anchors: list[int] = []  # page end-granule where packet completes, else -1
+        prev_n = 0  # 0 marks "no previous frame": first packet emits nothing
         pi, ki = first_data, 0
         while pi < len(s.pages):
             meta = s.pages[pi]
@@ -307,13 +313,17 @@ class PacketProvider:
             if pkt is None:
                 break
             if pkt is not _LOST:
+                n = blocksize_of(pkt)
+                if n > 0:
+                    count = (prev_n + n) // 4 if prev_n else 0
+                    prev_n = n
+                else:
+                    count = 0  # undecodable: lapping state unchanged
                 pages_i.append(pi)
                 packets_i.append(ki)
-                counts.append(max(count_packet(pkt), 0))
+                counts.append(count)
                 anchors.append(pkt.granule)
             ki += 1
-        if counts:
-            counts[0] = 0  # first audio packet primes lapping, emits nothing
         # Anchoring semantics (libvorbis-compatible, verified vs oracle):
         # - start offset comes from the FIRST anchored packet: if its granule
         #   exceeds the forward-accumulated count, the stream starts late
@@ -352,13 +362,13 @@ class PacketProvider:
 
     # -- seeking ---------------------------------------------------------------
 
-    def seek_to_granule(self, granule: int, preroll: int, count_packet) -> int:
+    def seek_to_granule(self, granule: int, preroll: int, blocksize_of) -> int:
         """Position the cursor ``preroll`` packets before the packet containing
         sample ``granule``; returns the start granule of the target packet
         (reference PacketProvider.SeekTo:56)."""
         if granule < 0:
             raise SeekOutOfRangeError(str(granule))
-        table = self.build_granule_table(count_packet)
+        table = self.build_granule_table(blocksize_of)
         if not table.end:
             raise SeekOutOfRangeError(str(granule))
         if granule > table.end[-1]:
@@ -374,5 +384,5 @@ class PacketProvider:
         self._pending_resync = False
         return target_start
 
-    def get_granule_count(self, count_packet) -> int:
-        return self.build_granule_table(count_packet).total
+    def get_granule_count(self, blocksize_of) -> int:
+        return self.build_granule_table(blocksize_of).total

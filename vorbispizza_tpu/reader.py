@@ -50,13 +50,17 @@ class VorbisReader:
         decoder = StreamDecoder(
             provider, clip_samples=self._clip, skip_tags=self._skip_tags
         )
+        # initialize() pulls header packets, which can discover further
+        # multiplexed streams reentrantly; remember our slot so streams stay
+        # in discovery order (reference VorbisReader.ProcessNewStream:68)
+        slot = len(self.streams)
         try:
             decoder.initialize()
         except InvalidDataError:
             return False  # not Vorbis: ignore this logical stream
         if self._user_cb is not None and not self._user_cb(decoder):
             return False
-        self.streams.append(decoder)
+        self.streams.insert(slot, decoder)
         return True
 
     def find_next_stream(self) -> bool:
