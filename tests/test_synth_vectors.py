@@ -66,7 +66,7 @@ def test_chained_streams(tmp_path):
     assert r.switch_streams(1) is True  # format changed
     assert r.tags.title == "B" and r.channels == 1 and r.sample_rate == 22050
     pcm2 = r.read_all(planar=True)
-    assert pcm2.shape[1] == int(0.4 * 22050)
+    assert pcm2.shape[1] == int(0.4 * 44100)  # 17640 source samples @22050
 
 
 def test_multiplexed_streams(tmp_path):
