@@ -12,7 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# persistent compile cache: the batch-pipeline tests trigger several
+# moderately large XLA compiles; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_TESTFILES = pathlib.Path("/root/reference/TestFiles")

@@ -1,0 +1,100 @@
+"""Batch (device) pipeline vs the scalar anchor, plus ops unit tests.
+
+Tolerance context: the scalar decoder is float64 and bit-exact (±2 LSB s16)
+vs native libvorbis; the device pipeline is float32 with HIGHEST-precision
+matmuls, targeted at ≤1e-6 max-abs PCM error (BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+from vorbispizza_tpu.dsp.imdct import imdct as imdct_scalar
+from vorbispizza_tpu.models.pipeline import decode_file_batch
+from vorbispizza_tpu.reader import VorbisReader
+from vorbispizza_tpu.setup.mapping import inverse_couple
+
+TOL = 1e-6
+
+
+def scalar_decode(data_or_path):
+    r = VorbisReader(data_or_path)
+    r.initialize()
+    return r.read_all(planar=True)
+
+
+@pytest.mark.parametrize("name", ["1test.ogg", "3test.ogg", "issue6test.ogg"])
+def test_batch_matches_scalar_reference_files(name, testfiles):
+    path = str(testfiles[0].parent / name)
+    ref = scalar_decode(path)
+    got = decode_file_batch(path)
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() <= TOL
+
+
+def test_batch_block_switching(tmp_path):
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(2, 1.0, kind="music")
+    data = encode_vorbis(sig, quality=0.5)
+    ref = scalar_decode(data)
+    got = decode_file_batch(data)
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() <= TOL
+
+
+def test_batch_multichannel_51(tmp_path):
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(6, 0.5, kind="music", seed=3)
+    data = encode_vorbis(sig, quality=0.3)
+    ref = scalar_decode(data)
+    got = decode_file_batch(data)
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() <= TOL
+
+
+# -- ops units ----------------------------------------------------------------------
+
+
+def test_imdct_op_matches_scalar():
+    from vorbispizza_tpu.ops.imdct import imdct_window_batch
+
+    rng = np.random.default_rng(0)
+    for n in (128, 512, 2048):
+        x = rng.standard_normal((5, n // 2)).astype(np.float32)
+        w = np.ones(n, dtype=np.float32)
+        ref = imdct_scalar(x.astype(np.float64), n)
+        got = np.asarray(imdct_window_batch(x, w))
+        scale = max(1.0, np.abs(ref).max())
+        assert np.abs(ref - got).max() / scale < 5e-6
+
+
+def test_coupling_op_matches_scalar():
+    from vorbispizza_tpu.ops.coupling import inverse_couple_batch
+
+    rng = np.random.default_rng(1)
+    res = rng.integers(-40, 40, size=(7, 4, 64)).astype(np.float32)
+    steps = ((0, 1), (2, 3), (0, 2))
+    got = np.asarray(inverse_couple_batch(res, steps))
+    ref = res.astype(np.float64).copy()
+    for f in range(7):
+        for m, a in reversed(steps):
+            ref[f, m], ref[f, a] = inverse_couple(ref[f, m], ref[f, a])
+    assert np.abs(got - ref).max() == 0.0
+
+
+def test_overlap_add_shifted_sum():
+    import jax.numpy as jnp
+
+    from vorbispizza_tpu.ops.ola import overlap_add
+
+    n = 8
+    frames = np.arange(2 * 1 * n, dtype=np.float32).reshape(2, 1, n) + 1
+    offsets = np.array([-2, 2], dtype=np.int32)  # first frame partially OOB
+    out = np.asarray(
+        overlap_add(jnp.zeros((1, 10), dtype=jnp.float32), jnp.asarray(frames),
+                    jnp.asarray(offsets))
+    )
+    expect = np.zeros((1, 10), dtype=np.float32)
+    expect[0, 0:6] += frames[0, 0, 2:]  # rows at -2..-1 dropped
+    expect[0, 2:10] += frames[1, 0]
+    assert np.array_equal(out, expect)

@@ -1,0 +1,305 @@
+"""Frame-batch compiler: turn a logical Vorbis stream into dense, bucketed
+tensors for the TPU synthesis pipeline (models/pipeline.py).
+
+This is the "irregular -> dense" pass of the TPU-first design (SURVEY.md §7):
+
+  pass 1 (plan)    — walk every packet, read only the mode header bits
+                     (the same trick the reference uses to measure packets,
+                     NVorbis/StreamDecoder.cs:882 GetPacketGranuleCount),
+                     compute window geometry, global output offsets, chain
+                     segmentation at resyncs, and granule-anchored trims.
+  pass 2 (extract) — entropy-decode every audio packet (floor posts +
+                     pre-coupling residue spectra) into per-bucket arrays.
+
+Buckets are keyed by (mode index, prev flag, next flag): within a bucket the
+blocksize, window vector, floor/residue configs and coupling steps are all
+static, so each bucket compiles to one fused XLA program.
+
+Overlap-add becomes position arithmetic: frame f's windowed samples land at
+offset[f] = offset[f-1] + right_end[f-1] - left_end[f] and neighbors sum
+where they overlap (ops/ola.py). Priming frames (chain starts) contribute
+nothing left of their center; chain-final frames nothing right of it —
+exactly the reference's lapping semantics (StreamDecoder.cs:764).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bitstream import BitReader
+from .errors import InvalidDataError
+from .ogg.logical import Packet, PacketProvider
+from .setup.mode import WindowInfo
+
+
+class BatchUnsupported(Exception):
+    """Stream shape the batch planner does not model (e.g. a granule cut
+    reaching back past an earlier cut). Callers fall back to the scalar
+    streaming decoder."""
+
+
+@dataclass(frozen=True)
+class BucketKey:
+    mode_idx: int
+    prev_flag: bool
+    next_flag: bool
+
+
+@dataclass
+class FrameEntry:
+    packet: Packet
+    mode_idx: int
+    info: WindowInfo
+    offset: int = 0  # global index of frame sample 0 in the accumulator
+    prime: bool = False  # chain start: left half contributes nothing
+    final: bool = False  # chain end: right half contributes nothing
+
+
+@dataclass
+class FramePlan:
+    frames: list[FrameEntry]
+    total_len: int  # global coordinate span (last chain's end)
+    chains: list[list[int]]  # frame indices per resync-free run
+    chain_segments: list[list[tuple[int, int]]]  # kept ranges per chain
+    buckets: dict[BucketKey, list[int]]  # bucket -> frame indices
+
+    @property
+    def segments(self) -> list[tuple[int, int]]:
+        return [seg for segs in self.chain_segments for seg in segs]
+
+    @property
+    def pcm_length(self) -> int:
+        return sum(e - s for s, e in self.segments)
+
+
+def read_mode_header(data: bytes, setup) -> tuple[int, bool, bool] | None:
+    """(mode_idx, prev_flag, next_flag) from an audio packet's first bits, or
+    None if the packet is not decodable audio."""
+    if not data:
+        return None
+    br = BitReader(data)
+    if br.read_bit():
+        return None
+    mode_idx = br.read_bits(setup.mode_bits)
+    if mode_idx >= len(setup.modes) or br.overrun:
+        return None
+    mode = setup.modes[mode_idx]
+    prev_flag, next_flag = mode.read_window_flags(br)
+    if br.overrun:
+        return None
+    return mode_idx, prev_flag, next_flag
+
+
+def build_plan(provider: PacketProvider, setup) -> FramePlan:
+    """Pass 1: walk all packets and lay out the output."""
+    frames: list[FrameEntry] = []
+    chains: list[list[int]] = []  # frame indices per chain
+    current: list[int] = []
+    eos_seen = False
+    while not eos_seen:
+        packet = provider.get_next_packet()
+        if packet is None:
+            break
+        if packet.is_end_of_stream:
+            eos_seen = True
+        if packet.is_resync and current:
+            chains.append(current)
+            current = []
+        hdr = read_mode_header(packet.data, setup)
+        if hdr is None:
+            continue
+        mode_idx, prev_flag, next_flag = hdr
+        info = setup.modes[mode_idx].window_info(prev_flag, next_flag)
+        current.append(len(frames))
+        frames.append(FrameEntry(packet=packet, mode_idx=mode_idx, info=info))
+    if current:
+        chains.append(current)
+
+    chain_segments: list[list[tuple[int, int]]] = []
+    base = 0
+    for chain in chains:
+        segments: list[tuple[int, int]] = []
+        base = _lay_out_chain(frames, chain, base, segments)
+        chain_segments.append(segments)
+
+    buckets: dict[BucketKey, list[int]] = {}
+    for i, fr in enumerate(frames):
+        key = BucketKey(fr.mode_idx, fr.info.prev_flag, fr.info.next_flag)
+        buckets.setdefault(key, []).append(i)
+    return FramePlan(
+        frames=frames,
+        total_len=max(base, 1),
+        chains=chains,
+        chain_segments=chain_segments,
+        buckets=buckets,
+    )
+
+
+def _lay_out_chain(
+    frames: list[FrameEntry],
+    chain: list[int],
+    base: int,
+    segments: list[tuple[int, int]],
+) -> int:
+    """Assign offsets for one resync-free run of frames; returns next base.
+
+    Mirrors StreamDecoder._next_block position/trim semantics: the first
+    frame primes lapping only; per-frame emission is the center-to-center
+    distance; page granules anchor the position and cut excess samples
+    (end trim / short first page)."""
+    if not chain:
+        return base
+    first = frames[chain[0]]
+    first.prime = True
+    first.offset = base - first.info.n // 2  # center of frame 0 at `base`
+    frames[chain[-1]].final = True
+
+    centers = [base]  # global center position of each frame
+    prev = first
+    for idx in chain[1:]:
+        fr = frames[idx]
+        fr.offset = prev.offset + prev.info.right_end - fr.info.left_end
+        centers.append(fr.offset + fr.info.n // 2)
+        prev = fr
+
+    # granule anchoring + cuts (reference StreamDecoder.cs:458-463,657-666)
+    pos: int | None = None  # granule-space position after frame f
+    unanchored = 0
+    seg_open = base  # global start of the currently-kept range
+    for k, idx in enumerate(chain):
+        fr = frames[idx]
+        n_emit = centers[k] - centers[k - 1] if k > 0 else 0
+        if pos is None:
+            unanchored += n_emit
+        else:
+            pos += n_emit
+        granule = fr.packet.granule
+        if granule < 0:
+            continue
+        if pos is None:
+            implied_start = granule - unanchored
+            if implied_start < 0:
+                seg_open = _cut(segments, seg_open, centers[k], -implied_start)
+            pos = granule
+            unanchored = 0
+        elif granule < pos:
+            seg_open = _cut(segments, seg_open, centers[k], pos - granule)
+            pos = granule
+        else:
+            pos = granule  # forward jump: position skips, no samples inserted
+    end = centers[-1]
+    if end > seg_open:
+        segments.append((seg_open, end))
+    return end
+
+
+def _cut(
+    segments: list[tuple[int, int]], seg_open: int, emitted_end: int, cut: int
+) -> int:
+    """Drop the last ``cut`` samples emitted so far; returns the new open
+    segment start (samples resume at ``emitted_end``)."""
+    keep_until = emitted_end - cut
+    if keep_until < seg_open:
+        raise BatchUnsupported("granule cut reaches past an earlier cut")
+    if keep_until > seg_open:
+        segments.append((seg_open, keep_until))
+    return emitted_end
+
+
+@dataclass
+class FloorGroup:
+    """Channels of one bucket sharing a floor config."""
+
+    floor: object  # Floor0 | Floor1 config
+    channels: list[int]
+    # floor1 tensors [F, n_ch, P] / floor0 tensors [F, n_ch, order]
+    posts: np.ndarray | None = None
+    step2: np.ndarray | None = None
+    coefficients: np.ndarray | None = None
+    amplitude: np.ndarray | None = None
+    used: np.ndarray | None = None  # [F, n_ch] bool
+
+
+@dataclass
+class BucketBatch:
+    key: BucketKey
+    n: int
+    frame_indices: np.ndarray  # [F] indices into plan.frames
+    offsets: np.ndarray  # [F] int32 global frame start
+    prime: np.ndarray  # [F] bool
+    final: np.ndarray  # [F] bool
+    residues: np.ndarray  # [F, C, n//2] float32, pre-coupling
+    floor_groups: list[FloorGroup] = field(default_factory=list)
+
+
+def extract_batch(plan: FramePlan, setup, channels: int) -> list[BucketBatch]:
+    """Pass 2: entropy-decode every frame into per-bucket dense tensors."""
+    out: list[BucketBatch] = []
+    for key, indices in plan.buckets.items():
+        mode = setup.modes[key.mode_idx]
+        mapping = setup.mappings[mode.mapping_idx]
+        n = mode.n
+        half = n // 2
+        F = len(indices)
+        residues = np.zeros((F, channels, half), dtype=np.float32)
+
+        # group channels by floor config (static per mapping)
+        groups: list[FloorGroup] = []
+        by_id: dict[int, FloorGroup] = {}
+        for c in range(channels):
+            fl = mapping.submap_floor[mapping.mux[c]]
+            g = by_id.get(id(fl))
+            if g is None:
+                g = FloorGroup(floor=fl, channels=[])
+                by_id[id(fl)] = g
+                groups.append(g)
+            g.channels.append(c)
+        for g in groups:
+            nc = len(g.channels)
+            g.used = np.zeros((F, nc), dtype=bool)
+            if g.floor.floor_type == 1:
+                P = g.floor.n_posts
+                g.posts = np.zeros((F, nc, P), dtype=np.int32)
+                g.step2 = np.zeros((F, nc, P), dtype=bool)
+            else:
+                g.coefficients = np.zeros((F, nc, g.floor.order), dtype=np.float32)
+                g.amplitude = np.zeros((F, nc), dtype=np.int32)
+
+        for fi, frame_idx in enumerate(indices):
+            fr = plan.frames[frame_idx]
+            br = BitReader(fr.packet.data)
+            br.read_bit()
+            br.read_bits(setup.mode_bits)
+            mode.read_window_flags(br)
+            floor_data, _, res = mapping.decode_packet_raw(br, n)
+            residues[fi] = res.astype(np.float32)
+            for g in groups:
+                for ci, c in enumerate(g.channels):
+                    fd = floor_data[c]
+                    if fd.unused:
+                        continue
+                    g.used[fi, ci] = True
+                    if g.floor.floor_type == 1:
+                        g.posts[fi, ci] = fd.posts
+                        g.step2[fi, ci] = fd.step2
+                    else:
+                        g.coefficients[fi, ci] = fd.coefficients
+                        g.amplitude[fi, ci] = fd.amplitude
+
+        out.append(
+            BucketBatch(
+                key=key,
+                n=n,
+                frame_indices=np.asarray(indices, dtype=np.int64),
+                offsets=np.asarray(
+                    [plan.frames[i].offset for i in indices], dtype=np.int32
+                ),
+                prime=np.asarray([plan.frames[i].prime for i in indices], dtype=bool),
+                final=np.asarray([plan.frames[i].final for i in indices], dtype=bool),
+                residues=residues,
+                floor_groups=groups,
+            )
+        )
+    return out

@@ -73,7 +73,12 @@ class Mapping:
 
     # -- packet decode (spec 4.3.2-4.3.4) -------------------------------------------
 
-    def decode_packet(self, br: BitReader, n: int) -> DecodedFrame:
+    def decode_packet_raw(self, br: BitReader, n: int):
+        """Entropy-decode one packet to dense tensors WITHOUT applying the
+        coupling inverse: (floor_data list, floors list, residues [ch, n//2]).
+
+        This is the host/device boundary of the batch pipeline — coupling,
+        floor synthesis, and everything after run on device (ops/)."""
         half = n // 2
         ch = self.channels
         # 1. floor curves for all channels (spec 4.3.2)
@@ -96,6 +101,10 @@ class Mapping:
             out = self.submap_residue[s].decode(br, dnd, half)
             for i, c in enumerate(ch_list):
                 residues[c] = out[i]
+        return floor_data, floors, residues
+
+    def decode_packet(self, br: BitReader, n: int) -> DecodedFrame:
+        floor_data, floors, residues = self.decode_packet_raw(br, n)
         # 4. inverse coupling, steps in reverse order (spec 4.3.4 step 2;
         #    reference ApplyCoupling:198)
         for m, a in reversed(self.coupling_steps):
