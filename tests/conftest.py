@@ -3,7 +3,10 @@ multi-chip sharding paths compile and run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of the ambient platform (e.g. a session-level
+# JAX_PLATFORMS=axon pointing at real TPU hardware): the test suite wants a
+# deterministic virtual 8-device mesh and fast local compiles
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,10 @@ import pathlib
 
 import jax
 import pytest
+
+# the axon sitecustomize force-sets jax_platforms="axon,cpu" at import,
+# overriding the env var; override it back before any backend initializes
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the batch-pipeline tests trigger several
 # moderately large XLA compiles; cache them across test runs

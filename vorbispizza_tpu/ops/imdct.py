@@ -24,12 +24,19 @@ import numpy as np
 
 
 @lru_cache(maxsize=16)
-def dct_iv_matrix(m: int) -> np.ndarray:
-    """[m, m] matrix D with DCT-IV(x) = x @ D (computed in float64, stored
-    float32): D[k, j] = cos(pi/m (j+0.5)(k+0.5))."""
+def dct_iv_matrix(m: int) -> tuple[np.ndarray, np.ndarray]:
+    """[m, m] matrix D with DCT-IV(x) = x @ D: D[k, j] = cos(pi/m (j+0.5)(k+0.5)).
+
+    Returned as a compensated (hi, lo) float32 pair with hi + lo == D to
+    float64 accuracy: two f32 matmuls against it eliminate the basis
+    quantization error, leaving only f32 accumulation noise (~2-4e-7 on real
+    signals — inside the 1e-6 PCM budget)."""
     k = np.arange(m, dtype=np.float64)[:, None]
     j = np.arange(m, dtype=np.float64)[None, :]
-    return np.cos(np.pi / m * (j + 0.5) * (k + 0.5)).astype(np.float32)
+    d = np.cos(np.pi / m * (j + 0.5) * (k + 0.5))
+    hi = d.astype(np.float32)
+    lo = (d - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
 
 
 def imdct_window_batch(spectra: jax.Array, window: jax.Array) -> jax.Array:
@@ -40,8 +47,10 @@ def imdct_window_batch(spectra: jax.Array, window: jax.Array) -> jax.Array:
     """
     m = spectra.shape[-1]
     h = m // 2
-    basis = jnp.asarray(dct_iv_matrix(m))
-    d = jnp.matmul(spectra, basis, precision=jax.lax.Precision.HIGHEST)
+    hi, lo = dct_iv_matrix(m)
+    d = jnp.matmul(
+        spectra, jnp.asarray(hi), precision=jax.lax.Precision.HIGHEST
+    ) + jnp.matmul(spectra, jnp.asarray(lo), precision=jax.lax.Precision.HIGHEST)
     # IMDCT symmetries (see dsp/imdct.py): y = [d[h:], -d[::-1], -d[:h]]
     y = jnp.concatenate(
         [d[..., h:], -d[..., ::-1], -d[..., :h]], axis=-1
