@@ -1,31 +1,22 @@
-"""Headline benchmark: realtime decode factor, stereo 44.1 kHz, per chip.
+"""Headline benchmark: corpus decode throughput per chip, stereo 44.1 kHz.
 
-Synthesizes a music-like stereo stream (libvorbisenc), decodes it through
-the full TPU batch pipeline (host entropy front end -> fused device
-synthesis -> gather OLA), verifies PCM against the float64 scalar anchor,
-and prints ONE JSON line:
+Synthesizes a corpus of music-like stereo streams (libvorbisenc), decodes
+them through the full pipeline — threaded host front ends (Ogg demux + C++
+entropy decode) overlapped with the fused device synthesis program — and
+prints ONE JSON line. The headline metric is total decoded audio seconds
+per wall second on one chip (realtime factor); vs_baseline is against the
+driver target of 1000x realtime (BASELINE.md north star; the reference
+publishes no numbers of its own).
 
-    {"metric": "decode_rtf_e2e", "value": <x realtime>, "unit": "x_realtime",
-     "vs_baseline": <value / 1000>, ...}
-
-vs_baseline is measured against the driver target of 1000x realtime
-(BASELINE.md north star; the reference publishes no numbers of its own).
+Accuracy is asserted against the float64 scalar anchor each run.
 """
 
 from __future__ import annotations
 
-import io
 import json
 import time
 
 import numpy as np
-
-
-def _make_stream(seconds: float) -> bytes:
-    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
-
-    sig = make_signal(2, seconds, rate=44100, kind="music", seed=7)
-    return encode_vorbis(sig, rate=44100, quality=0.5)
 
 
 def main() -> None:
@@ -34,68 +25,64 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from vorbispizza_tpu.decoder import StreamDecoder
-    from vorbispizza_tpu.frames import build_plan, extract_batch
-    from vorbispizza_tpu.models.pipeline import BatchSynthesizer
-    from vorbispizza_tpu.ogg.container import OggContainer
+    from vorbispizza_tpu.models.corpus import decode_corpus
     from vorbispizza_tpu.reader import VorbisReader
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
 
-    seconds = 30.0
-    data = _make_stream(seconds)
+    n_streams = 8
+    seconds = 15.0
+    corpus = []
+    for seed in range(n_streams):
+        sig = make_signal(2, seconds, rate=44100, kind="music", seed=seed)
+        corpus.append(encode_vorbis(sig, rate=44100, quality=0.5))
 
-    # ---- scalar anchor (accuracy reference) --------------------------------------
-    r = VorbisReader(data)
+    # ---- accuracy vs the float64 scalar anchor -----------------------------------
+    r = VorbisReader(corpus[0])
     r.initialize()
     ref = r.read_all(planar=True)
-    duration = ref.shape[1] / 44100.0
 
-    # ---- batch pipeline ----------------------------------------------------------
-    def front_end():
-        container = OggContainer(io.BytesIO(data))
-        container.try_init()
-        provider = container.providers[0]
-        dec = StreamDecoder(provider)
-        dec.initialize()
-        plan = build_plan(provider, dec._setup)
-        buckets = extract_batch(plan, dec._setup, dec.channels)
-        return dec, plan, buckets
+    # ---- warm (compile) then measure ---------------------------------------------
+    outs = decode_corpus(corpus)
+    max_err = float(np.abs(outs[0] - ref).max())
+    total_audio = sum(o.shape[1] for o in outs) / 44100.0
 
-    dec, plan, buckets = front_end()  # warm (page cache etc. irrelevant; fresh objects)
+    def measure(reps=3, **kw):
+        decode_corpus(corpus, **kw)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs_ = decode_corpus(corpus, **kw)
+            if kw.get("output") == "device":
+                for o in outs_:
+                    o.block_until_ready()
+        return total_audio / ((time.perf_counter() - t0) / reps)
+
+    rtf_f32 = measure(output="f32")
+    rtf_s16 = measure(output="s16")
+    rtf_device = measure(output="device")
+
+    # single-stream end-to-end (no cross-stream overlap), for the breakdown
     t0 = time.perf_counter()
-    dec, plan, buckets = front_end()
-    host_s = time.perf_counter() - t0
+    decode_corpus(corpus[:1])
+    single = (total_audio / n_streams) / (time.perf_counter() - t0)
 
-    synth = BatchSynthesizer(dec._setup, dec.channels)
-    out = synth.assemble(plan, buckets)  # compile
-    out.block_until_ready()
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = synth.assemble(plan, buckets)
-        out.block_until_ready()
-    device_s = (time.perf_counter() - t0) / reps
-
-    pcm = np.asarray(out)
-    max_err = float(np.abs(np.clip(pcm, -0.99999994, 0.99999994) - ref).max())
-
-    e2e_s = host_s + device_s
-    rtf_e2e = duration / e2e_s
-    rtf_device = duration / device_s
     print(
         json.dumps(
             {
-                "metric": "decode_rtf_e2e",
-                "value": round(rtf_e2e, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf_e2e / 1000.0, 4),
-                "device_rtf": round(rtf_device, 2),
-                "host_front_end_rtf": round(duration / host_s, 2),
+                "metric": "decode_rtf_corpus",
+                "value": round(rtf_s16, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf_s16 / 1000.0, 4),
+                "rtf_f32_host": round(rtf_f32, 2),
+                "rtf_device_resident": round(rtf_device, 2),
+                "single_stream_rtf": round(single, 2),
                 "max_abs_err_vs_anchor": max_err,
-                "stream_seconds": round(duration, 2),
+                "corpus_streams": n_streams,
+                "corpus_audio_seconds": round(total_audio, 2),
                 "backend": jax.default_backend(),
             }
         )
     )
+    assert max_err <= 1e-6, f"accuracy budget exceeded: {max_err}"
 
 
 if __name__ == "__main__":

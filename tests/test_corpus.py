@@ -1,0 +1,79 @@
+"""Corpus decode + batch pipeline edge cases (chained streams, s16 output,
+CLI WAV tool)."""
+
+import numpy as np
+import pytest
+
+from vorbispizza_tpu.models.corpus import decode_corpus
+from vorbispizza_tpu.models.pipeline import decode_file_batch
+from vorbispizza_tpu.reader import VorbisReader
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    return [
+        encode_vorbis(
+            make_signal(2, 0.6, kind="music", seed=s), quality=0.4
+        )
+        for s in range(3)
+    ]
+
+
+def scalar_decode(data):
+    r = VorbisReader(data)
+    r.initialize()
+    return r.read_all(planar=True)
+
+
+def test_decode_corpus_matches_scalar(small_corpus):
+    outs = decode_corpus(small_corpus, n_workers=2)
+    for data, got in zip(small_corpus, outs):
+        ref = scalar_decode(data)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_decode_corpus_s16(small_corpus):
+    outs = decode_corpus(small_corpus[:1], output="s16")
+    ref = scalar_decode(small_corpus[0])
+    s16 = np.clip(np.rint(ref.astype(np.float64) * 32768.0), -32768, 32767)
+    assert outs[0].dtype == np.int16
+    assert np.abs(outs[0].astype(np.int64) - s16.astype(np.int64)).max() <= 1
+
+
+def test_decode_corpus_device_resident(small_corpus):
+    outs = decode_corpus(small_corpus[:1], output="device")
+    import jax
+
+    assert isinstance(outs[0], jax.Array)
+    ref = scalar_decode(small_corpus[0])
+    got = np.clip(np.asarray(outs[0]), -0.99999994, 0.99999994)
+    assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_batch_chained_stream():
+    """Chained physical stream: the batch pipeline decodes the first logical
+    stream; each chain link is a separate provider (reader parity)."""
+    from vorbispizza_tpu.testing.encode import chain_streams, encode_vorbis, make_signal
+
+    a = encode_vorbis(make_signal(1, 0.4, kind="sine", seed=1), quality=0.2)
+    b = encode_vorbis(make_signal(1, 0.3, kind="sine", seed=2), quality=0.2)
+    chained = chain_streams(a, b)
+    ref = scalar_decode(a)
+    got = decode_file_batch(chained)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_cli_wav_tool(tmp_path, testfile1):
+    from vorbispizza_tpu.tools.decode import main
+
+    rc = main(["--scalar", "--out", str(tmp_path), str(testfile1)])
+    assert rc == 0
+    wav = tmp_path / (testfile1.stem + ".wav")
+    data = wav.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    # IEEE float stereo... 1test is mono 44.1k; 17318 samples * 4 bytes
+    assert len(data) == 44 + 17318 * 4

@@ -19,7 +19,12 @@ from .errors import (
     SeekOutOfRangeError,
 )
 from .ogg.logical import Packet, PacketProvider
-from .setup.header import detect_codec, parse_comments, parse_ident, parse_setup
+from .setup.header import (
+    detect_codec,
+    parse_comments,
+    parse_ident,
+    parse_setup_cached,
+)
 from .setup.mode import WindowInfo
 from .dsp.imdct import imdct
 from .dsp.window import window_for
@@ -86,7 +91,7 @@ class StreamDecoder:
         pkt = self._provider.get_next_packet()
         if pkt is None:
             raise InvalidDataError("missing setup header")
-        self._setup = parse_setup(pkt.data, self._ident)
+        self._setup = parse_setup_cached(pkt.data, self._ident)
         self._stats.header_bits += 8 * len(pkt.data)
         # audio begins on the page after the one the setup packet started on
         s = self._provider._s

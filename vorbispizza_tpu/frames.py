@@ -98,6 +98,14 @@ def build_plan(provider: PacketProvider, setup) -> FramePlan:
     chains: list[list[int]] = []  # frame indices per chain
     current: list[int] = []
     eos_seen = False
+    # fast inline mode-header parse: 1 + mode_bits (+2 window-flag) bits
+    # always fit in the first two bytes (mode_bits <= 6)
+    mode_bits = setup.mode_bits
+    n_modes = len(setup.modes)
+    mode_mask = (1 << mode_bits) - 1
+    block_flags = [m.block_flag for m in setup.modes]
+    need_bits = [1 + mode_bits + (2 if bf else 0) for bf in block_flags]
+    info_memo: dict[tuple[int, bool, bool], WindowInfo] = {}
     while not eos_seen:
         packet = provider.get_next_packet()
         if packet is None:
@@ -107,11 +115,23 @@ def build_plan(provider: PacketProvider, setup) -> FramePlan:
         if packet.is_resync and current:
             chains.append(current)
             current = []
-        hdr = read_mode_header(packet.data, setup)
-        if hdr is None:
+        data = packet.data
+        if not data or data[0] & 1:
             continue
-        mode_idx, prev_flag, next_flag = hdr
-        info = setup.modes[mode_idx].window_info(prev_flag, next_flag)
+        v = data[0] | ((data[1] << 8) if len(data) > 1 else 0)
+        mode_idx = (v >> 1) & mode_mask
+        if mode_idx >= n_modes or need_bits[mode_idx] > 8 * len(data):
+            continue
+        if block_flags[mode_idx]:
+            prev_flag = bool((v >> (1 + mode_bits)) & 1)
+            next_flag = bool((v >> (2 + mode_bits)) & 1)
+        else:
+            prev_flag = next_flag = False
+        key = (mode_idx, prev_flag, next_flag)
+        info = info_memo.get(key)
+        if info is None:
+            info = setup.modes[mode_idx].window_info(prev_flag, next_flag)
+            info_memo[key] = info
         current.append(len(frames))
         frames.append(FrameEntry(packet=packet, mode_idx=mode_idx, info=info))
     if current:
@@ -234,8 +254,103 @@ class BucketBatch:
     floor_groups: list[FloorGroup] = field(default_factory=list)
 
 
-def extract_batch(plan: FramePlan, setup, channels: int) -> list[BucketBatch]:
-    """Pass 2: entropy-decode every frame into per-bucket dense tensors."""
+def extract_batch(
+    plan: FramePlan, setup, channels: int, ident=None, use_native: bool = True
+) -> list[BucketBatch]:
+    """Pass 2: entropy-decode every frame into per-bucket dense tensors.
+
+    Uses the C++ front end (native/frontend.cpp, threaded over packets) when
+    available and ``ident`` is provided; falls back to the pure-Python
+    decode otherwise. Both paths produce identical tensors (double
+    accumulation, float32 output)."""
+    if use_native and ident is not None:
+        from . import native
+
+        if native.available():
+            return _extract_batch_native(plan, setup, channels, ident)
+    return _extract_batch_python(plan, setup, channels)
+
+
+def _bucket_groups(mapping, channels: int):
+    """Group channels by floor config (static per mapping)."""
+    groups: list[FloorGroup] = []
+    by_id: dict[int, FloorGroup] = {}
+    for c in range(channels):
+        fl = mapping.submap_floor[mapping.mux[c]]
+        g = by_id.get(id(fl))
+        if g is None:
+            g = FloorGroup(floor=fl, channels=[])
+            by_id[id(fl)] = g
+            groups.append(g)
+        g.channels.append(c)
+    return groups
+
+
+def _extract_batch_native(
+    plan: FramePlan, setup, channels: int, ident
+) -> list[BucketBatch]:
+    from . import native
+    from .native.serialize import serialize_setup
+
+    blob = getattr(setup, "_native_blob", None)
+    if blob is None:
+        blob = serialize_setup(setup, ident)
+        setup._native_blob = blob
+    max_half = ident.blocksizes[1] // 2
+    max_order = max(
+        (f.order for f in setup.floors if f.floor_type == 0), default=0
+    )
+    packets = [fr.packet.data for fr in plan.frames]
+    dec = native.decode_packets(blob, packets, channels, max_half, max_order)
+    meta = dec["meta"]
+    for i, fr in enumerate(plan.frames):
+        if meta[i, 0] != 1 or meta[i, 1] != fr.mode_idx:
+            raise RuntimeError(
+                f"native front end disagrees with plan at frame {i}"
+            )
+
+    out: list[BucketBatch] = []
+    for key, indices in plan.buckets.items():
+        mode = setup.modes[key.mode_idx]
+        mapping = setup.mappings[mode.mapping_idx]
+        n = mode.n
+        half = n // 2
+        idx = np.asarray(indices, dtype=np.int64)
+        residues = dec["residues"][idx][:, :, :half]
+
+        groups = _bucket_groups(mapping, channels)
+        for g in groups:
+            chs = np.asarray(g.channels, dtype=np.int64)
+            g.used = dec["used"][idx][:, chs].astype(bool)
+            if g.floor.floor_type == 1:
+                g.posts = np.ascontiguousarray(
+                    dec["posts"][idx][:, chs, : g.floor.n_posts]
+                )
+                g.step2 = dec["step2"][idx][:, chs, : g.floor.n_posts].astype(bool)
+            else:
+                g.coefficients = np.ascontiguousarray(
+                    dec["f0_coeffs"][idx][:, chs, : g.floor.order]
+                )
+                g.amplitude = np.ascontiguousarray(dec["f0_amp"][idx][:, chs])
+
+        out.append(
+            BucketBatch(
+                key=key,
+                n=n,
+                frame_indices=idx,
+                offsets=np.asarray(
+                    [plan.frames[i].offset for i in indices], dtype=np.int32
+                ),
+                prime=np.asarray([plan.frames[i].prime for i in indices], dtype=bool),
+                final=np.asarray([plan.frames[i].final for i in indices], dtype=bool),
+                residues=np.ascontiguousarray(residues),
+                floor_groups=groups,
+            )
+        )
+    return out
+
+
+def _extract_batch_python(plan: FramePlan, setup, channels: int) -> list[BucketBatch]:
     out: list[BucketBatch] = []
     for key, indices in plan.buckets.items():
         mode = setup.modes[key.mode_idx]
@@ -245,17 +360,7 @@ def extract_batch(plan: FramePlan, setup, channels: int) -> list[BucketBatch]:
         F = len(indices)
         residues = np.zeros((F, channels, half), dtype=np.float32)
 
-        # group channels by floor config (static per mapping)
-        groups: list[FloorGroup] = []
-        by_id: dict[int, FloorGroup] = {}
-        for c in range(channels):
-            fl = mapping.submap_floor[mapping.mux[c]]
-            g = by_id.get(id(fl))
-            if g is None:
-                g = FloorGroup(floor=fl, channels=[])
-                by_id[id(fl)] = g
-                groups.append(g)
-            g.channels.append(c)
+        groups = _bucket_groups(mapping, channels)
         for g in groups:
             nc = len(g.channels)
             g.used = np.zeros((F, nc), dtype=bool)

@@ -1,0 +1,228 @@
+"""Corpus decode: many streams through one chip with host/device overlap.
+
+The BASELINE "1k-file corpus" configuration. Per-stream host front ends
+(Ogg demux + C++ entropy decode, which releases the GIL) run on a thread
+pool while the main thread dispatches the fused device program for streams
+as they become ready — device dispatch is asynchronous, so transfers and
+synthesis of stream k overlap the front end of stream k+1.
+
+Streams produced by the same encoder settings share a parsed setup
+(header.parse_setup_cached) and therefore one BatchSynthesizer and its
+compiled programs (shapes are quantized in pipeline.assemble).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import io
+
+import numpy as np
+
+from ..decoder import CLIP_MAX, StreamDecoder
+from ..frames import BucketBatch, FloorGroup, FrameEntry, FramePlan, build_plan, extract_batch
+from ..ogg.container import OggContainer
+from .pipeline import BatchSynthesizer
+
+
+def _front_end(source):
+    if isinstance(source, (bytes, bytearray)):
+        f = io.BytesIO(source)
+    else:
+        f = open(source, "rb")
+    container = OggContainer(f)
+    if not container.try_init():
+        raise ValueError("no logical stream found")
+    provider = container.providers[0]
+    dec = StreamDecoder(provider)
+    dec.initialize()
+    plan = build_plan(provider, dec._setup)
+    buckets = extract_batch(plan, dec._setup, dec.channels, ident=dec._ident)
+    return dec._setup, dec.channels, plan, buckets
+
+
+def merge_streams(items):
+    """Merge per-stream (plan, buckets) into ONE plan + bucket set.
+
+    Frames from different streams are independent, so they concatenate
+    along the frame axis; each stream gets a disjoint global-coordinate
+    range (coordinate shift) and its chains stay self-contained. The whole
+    corpus then decodes as a single fused device program — one execution and
+    three host->device copies TOTAL, which matters when per-call latency to
+    the accelerator is non-trivial.
+
+    All streams must share the same setup config and channel count (callers
+    group by setup identity). Returns (plan, buckets, pcm_lengths)."""
+    frames: list[FrameEntry] = []
+    chains: list[list[int]] = []
+    chain_segments: list[list[tuple[int, int]]] = []
+    merged: dict = {}
+    pcm_lengths: list[int] = []
+    coord_base = 0
+    for plan, buckets in items:
+        frame_base = len(frames)
+        for fr in plan.frames:
+            frames.append(
+                FrameEntry(
+                    packet=None,
+                    mode_idx=fr.mode_idx,
+                    info=fr.info,
+                    offset=fr.offset + coord_base,
+                    prime=fr.prime,
+                    final=fr.final,
+                )
+            )
+        for chain in plan.chains:
+            chains.append([i + frame_base for i in chain])
+        for segs in plan.chain_segments:
+            chain_segments.append(
+                [(s + coord_base, e + coord_base) for s, e in segs]
+            )
+        for b in buckets:
+            merged.setdefault(b.key, []).append((b, frame_base, coord_base))
+        pcm_lengths.append(plan.pcm_length)
+        coord_base += plan.total_len
+
+    out_buckets: list[BucketBatch] = []
+    for key, parts in merged.items():
+        first = parts[0][0]
+        groups: list[FloorGroup] = []
+        for gi, g0 in enumerate(first.floor_groups):
+            g = FloorGroup(floor=g0.floor, channels=list(g0.channels))
+            g.used = np.concatenate([p[0].floor_groups[gi].used for p in parts])
+            if g0.floor.floor_type == 1:
+                g.posts = np.concatenate(
+                    [p[0].floor_groups[gi].posts for p in parts]
+                )
+                g.step2 = np.concatenate(
+                    [p[0].floor_groups[gi].step2 for p in parts]
+                )
+            else:
+                g.coefficients = np.concatenate(
+                    [p[0].floor_groups[gi].coefficients for p in parts]
+                )
+                g.amplitude = np.concatenate(
+                    [p[0].floor_groups[gi].amplitude for p in parts]
+                )
+            groups.append(g)
+        out_buckets.append(
+            BucketBatch(
+                key=key,
+                n=first.n,
+                frame_indices=np.concatenate(
+                    [b.frame_indices + fb for b, fb, _ in parts]
+                ),
+                offsets=np.concatenate(
+                    [b.offsets + np.int32(cb) for b, _, cb in parts]
+                ),
+                prime=np.concatenate([b.prime for b, _, _ in parts]),
+                final=np.concatenate([b.final for b, _, _ in parts]),
+                residues=np.concatenate([b.residues for b, _, _ in parts]),
+                floor_groups=groups,
+            )
+        )
+    plan_m = FramePlan(
+        frames=frames,
+        total_len=max(coord_base, 1),
+        chains=chains,
+        chain_segments=chain_segments,
+        buckets={b.key: list(b.frame_indices) for b in out_buckets},
+    )
+    return plan_m, out_buckets, pcm_lengths
+
+
+def decode_corpus(
+    sources,
+    *,
+    n_workers: int = 8,
+    clip_samples: bool = True,
+    output: str = "f32",
+    batched: bool = True,
+    max_batch_bytes: int = 12 << 20,
+):
+    """Decode many Ogg Vorbis sources (paths or bytes) -> list of planar
+    PCM arrays, in input order.
+
+    ``output``:
+      "f32"    — numpy float32 [C, samples] on host (clipped per
+                 ``clip_samples``)
+      "s16"    — numpy int16 [C, samples] on host (device-side quantize,
+                 libvorbisfile ov_read-compatible; halves the transfer)
+      "device" — leave PCM on device (jax f32 arrays in HBM) for
+                 downstream TPU consumers (feature extraction, ASR, ...)
+
+    ``batched``: merge streams sharing a setup config into fused device
+    executions (merge_streams) — minimizes per-call accelerator latency.
+    Merged transfers are capped at ``max_batch_bytes`` of residue data per
+    execution: interconnects tend to have both a per-call latency floor
+    (punishes many small transfers) and degraded throughput on very large
+    single buffers, so mid-size batches win.
+    """
+    fmt = "s16" if output == "s16" else "f32"
+
+    def finish(arr, n_streams_lengths=None):
+        if output == "device":
+            return arr
+        if output == "s16":
+            return np.asarray(arr)
+        pcm = np.array(arr, dtype=np.float32)
+        if clip_samples:
+            np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
+        return pcm
+
+    outs = [None] * len(sources)
+    with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+        fronts = list(pool.map(_front_end, sources))
+
+    if not batched:
+        synths: dict[int, BatchSynthesizer] = {}
+        for i, (setup, channels, plan, buckets) in enumerate(fronts):
+            synth = synths.setdefault(
+                id(setup), BatchSynthesizer(setup, channels)
+            )
+            outs[i] = finish(synth.assemble(plan, buckets, output=fmt))
+        return outs
+
+    # group by (setup identity, channels); one fused execution per group
+    groups: dict = {}
+    for i, (setup, channels, plan, buckets) in enumerate(fronts):
+        groups.setdefault((id(setup), channels), []).append(i)
+    synths = {}
+    for (sid, channels), idxs in groups.items():
+        setup = fronts[idxs[0]][0]
+        synth = synths.get(sid)
+        if synth is None:
+            synth = BatchSynthesizer(setup, channels)
+            synths[sid] = synth
+        # chunk the group so each fused execution stays in the transfer
+        # sweet spot
+        chunks: list[list[int]] = [[]]
+        acc = 0
+        for i in idxs:
+            nbytes = sum(b.residues.nbytes for b in fronts[i][3])
+            if chunks[-1] and acc + nbytes > max_batch_bytes:
+                chunks.append([])
+                acc = 0
+            chunks[-1].append(i)
+            acc += nbytes
+        pending = []
+        for chunk in chunks:
+            plan_m, buckets_m, pcm_lengths = merge_streams(
+                [(fronts[i][2], fronts[i][3]) for i in chunk]
+            )
+            # dispatch is async: all chunks are in flight before any d2h
+            pending.append(
+                (chunk, pcm_lengths, synth.assemble(plan_m, buckets_m, output=fmt))
+            )
+        for chunk, pcm_lengths, merged_out in pending:
+            if output == "device":
+                c = 0
+                for i, ln in zip(chunk, pcm_lengths):
+                    outs[i] = merged_out[:, c : c + ln]
+                    c += ln
+            else:
+                host = finish(merged_out)
+                c = 0
+                for i, ln in zip(chunk, pcm_lengths):
+                    outs[i] = host[:, c : c + ln]
+                    c += ln
+    return outs

@@ -29,12 +29,28 @@ from ..ogg.container import OggContainer
 from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
-from ..ops.ola import build_gather_plan, gather_assemble
+from ..ops.ola import OlaUnsupported, gather_assemble
 from ..setup.mode import window_geometry
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pad_size(x: int, base: int = 64) -> int:
+    """Quantized padding: round up to a 1.5x-geometric size series
+    (64, 96, 128, 192, 256, ...). Bounds both wasted compute (<=50%) and the
+    number of distinct compiled shapes (~2 per octave) so corpus decode hits
+    the jit cache instead of recompiling per stream."""
+    if x <= base:
+        return base
+    s = base
+    while s < x:
+        s2 = s + s // 2
+        if s2 >= x:
+            return s2
+        s *= 2
+    return s
 
 
 class BatchSynthesizer:
@@ -48,69 +64,65 @@ class BatchSynthesizer:
 
     # -- one bucket: [F, C, half] tensors -> [F, C, n] windowed frames ----------
 
-    def _bucket_fn(self, key):
-        cached = self._fns.get(key)
-        if cached is not None:
-            return cached
+    def _bucket_static(self, key):
+        """(n, window, coupling_steps) — static per bucket key."""
         mode = self.setup.modes[key.mode_idx]
         mapping = self.setup.mappings[mode.mapping_idx]
-        n = mode.n
-        half = n // 2
-        center = n // 2
         info = window_geometry(
             mode.blocksizes, mode.block_flag, key.prev_flag, key.next_flag
         )
         window = full_window(
             info.n, info.left_start, info.left_end, info.right_start, info.right_end
         ).astype(np.float32)
-        coupling_steps = tuple(mapping.coupling_steps)
+        return mode.n, window, tuple(mapping.coupling_steps)
 
-        def fn(residues, prime, final, floor_inputs, group_meta=None):
-            F = residues.shape[0]
-            # floor curves per channel group, then reassemble channel order
-            parts = []
-            chan_order = []
-            for meta, inp in zip(group_meta, floor_inputs):
-                nc = len(meta["channels"])
-                chan_order.extend(meta["channels"])
-                if meta["type"] == 1:
-                    curves = floor1_curves(
-                        inp["posts"].reshape(F * nc, -1),
-                        inp["step2"].reshape(F * nc, -1),
-                        inp["used"].reshape(F * nc),
-                        xs=meta["xs"],
-                        multiplier=meta["multiplier"],
-                        half=half,
-                    )
-                else:
-                    curves = floor0_curves(
-                        inp["coefficients"].reshape(F * nc, -1),
-                        inp["amplitude"].reshape(F * nc),
-                        inp["used"].reshape(F * nc),
-                        order=meta["order"],
-                        bark_map=meta["bark_map"],
-                        bark_map_size=meta["bark_map_size"],
-                        amplitude_bits=meta["amplitude_bits"],
-                        amplitude_offset=meta["amplitude_offset"],
-                    )
-                parts.append(curves.reshape(F, nc, half))
-            floors = jnp.concatenate(parts, axis=1)
-            inv = np.argsort(np.asarray(chan_order))
-            floors = floors[:, inv, :]
+    def _synth_math(self, key, residues, prime, final, floor_inputs, group_meta):
+        """Traced synthesis body: tensors -> windowed+masked frames [F, C, n]."""
+        n, window, coupling_steps = self._bucket_static(key)
+        half = n // 2
+        center = n // 2
+        F = residues.shape[0]
+        # floor curves per channel group, then reassemble channel order
+        parts = []
+        chan_order = []
+        for meta, inp in zip(group_meta, floor_inputs):
+            nc = len(meta["channels"])
+            chan_order.extend(meta["channels"])
+            if meta["type"] == 1:
+                curves = floor1_curves(
+                    inp["posts"].reshape(F * nc, -1),
+                    inp["step2"].reshape(F * nc, -1),
+                    inp["used"].reshape(F * nc),
+                    xs=meta["xs"],
+                    multiplier=meta["multiplier"],
+                    half=half,
+                )
+            else:
+                curves = floor0_curves(
+                    inp["coefficients"].reshape(F * nc, -1),
+                    inp["amplitude"].reshape(F * nc),
+                    inp["used"].reshape(F * nc),
+                    order=meta["order"],
+                    bark_map=meta["bark_map"],
+                    bark_map_size=meta["bark_map_size"],
+                    amplitude_bits=meta["amplitude_bits"],
+                    amplitude_offset=meta["amplitude_offset"],
+                )
+            parts.append(curves.reshape(F, nc, half))
+        floors = jnp.concatenate(parts, axis=1)
+        inv = np.argsort(np.asarray(chan_order))
+        floors = floors[:, inv, :]
 
-            res = inverse_couple_batch(residues, coupling_steps)
-            spectra = res * floors
-            frames = imdct_window_batch(spectra, jnp.asarray(window))
+        res = inverse_couple_batch(residues, coupling_steps)
+        spectra = res * floors
+        frames = imdct_window_batch(spectra, jnp.asarray(window))
 
-            j = jnp.arange(n, dtype=jnp.int32)[None, :]
-            keep = jnp.where(prime[:, None], j >= center, True) & jnp.where(
-                final[:, None], j < center, True
-            )
-            return frames * keep[:, None, :].astype(frames.dtype)
+        j = jnp.arange(n, dtype=jnp.int32)[None, :]
+        keep = jnp.where(prime[:, None], j >= center, True) & jnp.where(
+            final[:, None], j < center, True
+        )
+        return frames * keep[:, None, :].astype(frames.dtype)
 
-        jitted = jax.jit(fn, static_argnames=("group_meta",))
-        self._fns[key] = jitted
-        return jitted
 
     @staticmethod
     def _group_meta(bucket: BucketBatch):
@@ -150,36 +162,18 @@ class BatchSynthesizer:
                 )
         return tuple(metas), inputs
 
-    def synth_bucket(self, bucket: BucketBatch):
-        """Windowed frames [Fp, C, n] for one bucket; rows are padded up to a
-        multiple of 64 (zero contributions, never gathered)."""
-        metas, inputs = self._group_meta(bucket)
-        F = bucket.residues.shape[0]
-        Fp = _round_up(max(F, 1), 64)
-        pad = Fp - F
-
-        def p(a):
-            if pad == 0:
-                return a
-            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, width)
-
-        residues = p(bucket.residues)
-        prime = p(bucket.prime)
-        final = p(bucket.final)
-        floor_inputs = tuple(
-            {k: p(v) for k, v in inp.items()} for inp in inputs
-        )
-        fn = self._bucket_fn(bucket.key)
-        return fn(residues, prime, final, floor_inputs, group_meta=metas)
-
     # -- full stream --------------------------------------------------------------
 
-    def assemble(self, plan: FramePlan, buckets: list[BucketBatch]) -> jax.Array:
-        """Synthesize all buckets, then gather-assemble the PCM -> [C, pcm].
+    def _frame_tables(self, plan: FramePlan, buckets, padded_n):
+        """Per-frame OLA tables (host, tiny): effective support offsets/ends
+        in global coordinates and the frame's base index in the flat layout.
 
-        Overlap-add is realised as two gathers per output sample
-        (ops/ola.build_gather_plan) — no scatter, no accumulator."""
+        The per-SAMPLE gather indices are derived from these ON DEVICE
+        (searchsorted in the fused program) — transferring three [F] arrays
+        instead of four [total_samples] arrays.
+
+        ``padded_n``: per-bucket (Fp, n, ...) after row padding — flat layout
+        is the concatenation of each bucket's [C, Fp*n] block."""
         n_frames = len(plan.frames)
         flat_base = np.zeros(n_frames, dtype=np.int64)
         # nonzero support of each windowed frame: [left_start, right_end),
@@ -193,45 +187,318 @@ class BatchSynthesizer:
             sup_end[i] = c if fr.final else fr.info.right_end
         offsets = np.array([fr.offset for fr in plan.frames], dtype=np.int64)
         offsets_eff = offsets + sup_start
-        sizes_eff = np.maximum(sup_end - sup_start, 0)
-        flats = []
+        ends_eff = offsets + sup_end
         base = 0
-        for bucket in buckets:
-            frames = self.synth_bucket(bucket)  # [Fp, C, n]
-            Fp, C, n = frames.shape
-            flats.append(frames.transpose(1, 0, 2).reshape(C, Fp * n))
+        for bucket, pn in zip(buckets, padded_n):
+            Fp, n = pn[0], pn[1]
             flat_base[bucket.frame_indices] = base + np.arange(
                 len(bucket.frame_indices), dtype=np.int64
             ) * n
             base += Fp * n
-        if not flats:
-            return jnp.zeros((self.channels, 0), dtype=jnp.float32)
-        flat = jnp.concatenate(flats, axis=1)
-
-        idx_parts = []
-        for chain, segments in zip(plan.chains, plan.chain_segments):
-            ch = np.asarray(chain, dtype=np.int64)
-            idx_parts.append(
-                build_gather_plan(
-                    offsets_eff[ch],
-                    sizes_eff[ch],
-                    flat_base[ch] + sup_start[ch],
-                    segments,
-                )
-            )
-        if not idx_parts:
-            return flat[:, :0]
-        a_idx = np.concatenate([p[0] for p in idx_parts])
-        b_idx = np.concatenate([p[1] for p in idx_parts])
-        b_valid = np.concatenate([p[2] for p in idx_parts])
-        a_valid = np.concatenate([p[3] for p in idx_parts])
-        return gather_assemble(
-            flat,
-            jnp.asarray(a_idx),
-            jnp.asarray(b_idx),
-            jnp.asarray(b_valid),
-            jnp.asarray(a_valid),
+        # validity checks: ascending supports, coverage depth <= 2 (these
+        # hold for all spec-conformant window geometry, incl. across chain
+        # boundaries — chain-final/priming masks confine each chain's
+        # nonzero samples to its own [base, base+span) range)
+        if np.any(np.diff(offsets_eff) < 0):
+            raise OlaUnsupported("frame supports not ascending")
+        if n_frames >= 3 and not np.all(ends_eff[:-2] <= offsets_eff[2:]):
+            raise OlaUnsupported("three frames overlap one sample")
+        return (
+            offsets_eff.astype(np.int32),
+            ends_eff.astype(np.int32),
+            (flat_base + sup_start - offsets_eff).astype(np.int32),  # fbase-off
         )
+
+    #: sparse-residue packing granularity (columns per block). Residue
+    #: spectra are 80-98% zero in practice; nonzero 32-column blocks are
+    #: shipped packed (int16 when the values are integral — they are sums of
+    #: small lattice codebook entries — else float32) plus a per-block
+    #: gather map. Cuts the dominant host->device transfer 4-20x, losslessly.
+    PACK_GRAN = 32
+
+    @staticmethod
+    def _layout(statics, padded_n, channels):
+        """Static packed-transfer layout: every host tensor gets a
+        (buffer-tag, offset, shape) slot in one of FOUR flat transfer
+        buffers (f32 / i32 / i16 / u8). Packing turns ~25 small host->device
+        copies per stream into 4 — transfer count, not bytes, dominates
+        latency on thin interconnects.
+
+        ``padded_n`` per bucket: (Fp, n, Kp, ptag) — padded rows, blocksize,
+        padded packed-block count, packed dtype tag."""
+        counts = {"f32": 0, "i32": 0, "i16": 0, "u8": 0}
+        PG = BatchSynthesizer.PACK_GRAN
+
+        def slot(tag, shape):
+            size = int(np.prod(shape))
+            off = counts[tag]
+            counts[tag] += size
+            return (tag, off, shape)
+
+        entries = []
+        for (key, metas), (Fp, n, Kp, ptag) in zip(statics, padded_n):
+            half = n // 2
+            npart = half // PG
+            e = {
+                "gmap": slot("i32", (Fp * channels * npart,)),
+                "packed": slot(ptag, (Kp, PG)),
+                "groups": [],
+            }
+            for meta in metas:
+                nc = len(meta["channels"])
+                if meta["type"] == 1:
+                    P = len(meta["xs"])
+                    g = {
+                        "posts": slot("u8", (Fp, nc, P)),
+                        "step2": slot("u8", (Fp, nc, P)),
+                    }
+                else:
+                    g = {
+                        "coefficients": slot("f32", (Fp, nc, meta["order"])),
+                        "amplitude": slot("i32", (Fp, nc)),
+                    }
+                g["used"] = slot("u8", (Fp, nc))
+                e["groups"].append(g)
+            e["prime"] = slot("u8", (Fp,))
+            e["final"] = slot("u8", (Fp,))
+            entries.append(e)
+        return entries, counts
+
+    def _fused_fn(self, sig):
+        """One jitted XLA program: every bucket's synthesis + device-side
+        OLA index computation + the two-gather assembly."""
+        cached = self._fns.get(("fused", sig))
+        if cached is not None:
+            return cached
+        statics = list(sig[0])  # tuple of (key, metas)
+        padded_n = list(sig[1])
+        segments = sig[2]  # tuple of (start, length); None => uniform arange
+        output = sig[5]  # "f32" | "s16"
+        entries, _ = self._layout(statics, padded_n, self.channels)
+        C = self.channels
+
+        def fused(f32_buf, i32_buf, i16_buf, u8_buf, offs, ends, fbase_off,
+                  pos_in=None):
+            bufs = {"f32": f32_buf, "i32": i32_buf, "i16": i16_buf, "u8": u8_buf}
+
+            def take(slot_, bool_=False):
+                tag, off, shape = slot_
+                size = int(np.prod(shape))
+                v = bufs[tag][off : off + size].reshape(shape)
+                return v.astype(bool) if bool_ else v
+
+            flats = []
+            for (key, metas), e, (Fp, n, Kp, ptag) in zip(
+                statics, entries, padded_n
+            ):
+                half = n // 2
+                floor_inputs = []
+                for meta, g in zip(metas, e["groups"]):
+                    if meta["type"] == 1:
+                        floor_inputs.append(
+                            {
+                                "posts": take(g["posts"]).astype(jnp.int32),
+                                "step2": take(g["step2"], bool_=True),
+                                "used": take(g["used"], bool_=True),
+                            }
+                        )
+                    else:
+                        floor_inputs.append(
+                            {
+                                "coefficients": take(g["coefficients"]),
+                                "amplitude": take(g["amplitude"]),
+                                "used": take(g["used"], bool_=True),
+                            }
+                        )
+                # sparse residue expansion: gather packed nonzero blocks
+                packed = take(e["packed"])  # [Kp, PG]; row 0 is all-zero
+                gmap = take(e["gmap"])  # [Fp*C*npart]
+                residues = (
+                    jnp.take(packed, gmap, axis=0)
+                    .reshape(Fp, C, half)
+                    .astype(jnp.float32)
+                )
+                frames = self._synth_math(
+                    key,
+                    residues,
+                    take(e["prime"], bool_=True),
+                    take(e["final"], bool_=True),
+                    tuple(floor_inputs),
+                    metas,
+                )
+                flats.append(frames.transpose(1, 0, 2).reshape(C, Fp * n))
+            flat = jnp.concatenate(flats, axis=1)
+
+            # kept output positions (global coords)
+            if segments is None:
+                pos = jnp.arange(sig[3], dtype=jnp.int32)
+            else:  # "dynamic": host-provided position list
+                pos = pos_in
+            F = offs.shape[0]
+            a = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
+            a = jnp.clip(a, 0, F - 1)
+            a_valid = (pos >= jnp.take(offs, a)) & (pos < jnp.take(ends, a))
+            b = jnp.maximum(a - 1, 0)
+            b_valid = (a > 0) & (pos < jnp.take(ends, b))
+            a_idx = jnp.take(fbase_off, a) + pos
+            b_idx = jnp.take(fbase_off, b) + pos
+            pcm = gather_assemble(flat, a_idx, b_idx, b_valid, a_valid)
+            if output == "s16":
+                # libvorbisfile ov_read-compatible quantization: clip, scale
+                # by 32768, rint (matches the testing/oracle s16 gate)
+                clipped = jnp.clip(pcm, -CLIP_MAX, CLIP_MAX)
+                scaled = clipped * 32768.0
+                pcm = jnp.clip(
+                    jnp.round(scaled), -32768.0, 32767.0
+                ).astype(jnp.int16)
+            return pcm
+
+        jitted = jax.jit(fused)
+        self._fns[("fused", sig)] = jitted
+        return jitted
+
+    def prepare(
+        self,
+        plan: FramePlan,
+        buckets: list[BucketBatch],
+        output: str = "f32",
+    ):
+        """Host half of a decode: pack every tensor into 3 flat transfer
+        buffers, start the (async) host->device copies, and return
+        ``(sig, device_args, total, uniform)`` for run().
+
+        Safe to call from worker threads — transfers overlap other streams'
+        device execution."""
+        PG = self.PACK_GRAN
+        metas_per = [self._group_meta(b)[0] for b in buckets]
+        # sparse-pack residues: nonzero PG-column blocks only (+ zero row 0)
+        packs = []
+        padded_n = []
+        for b in buckets:
+            F, C, half = b.residues.shape
+            npart = half // PG
+            r = b.residues.reshape(F * C * npart, PG)
+            nz = np.any(r != 0, axis=1)
+            rows = r[nz]
+            K = rows.shape[0]
+            int16_ok = K == 0 or (
+                np.abs(rows).max() <= 32000.0
+                and not np.any(rows != np.rint(rows))
+            )
+            ptag = "i16" if int16_ok else "f32"
+            gmap = np.zeros(F * C * npart, dtype=np.int32)
+            gmap[nz] = 1 + np.arange(K, dtype=np.int32)
+            packs.append((gmap, rows, K, ptag))
+            padded_n.append(
+                (_pad_size(max(F, 1)), b.n, _pad_size(K + 1), ptag)
+            )
+        statics = tuple(
+            (b.key, metas) for b, metas in zip(buckets, metas_per)
+        )
+        entries, counts = self._layout(statics, padded_n, self.channels)
+        f32 = np.zeros(counts["f32"], dtype=np.float32)
+        i32 = np.zeros(counts["i32"], dtype=np.int32)
+        i16 = np.zeros(counts["i16"], dtype=np.int16)
+        u8 = np.zeros(counts["u8"], dtype=np.uint8)
+        bufs = {"f32": f32, "i32": i32, "i16": i16, "u8": u8}
+
+        def put(slot, value):
+            tag, off, shape = slot
+            size = int(np.prod(shape))
+            view = bufs[tag][off : off + size].reshape(shape)
+            view[: value.shape[0]] = value
+
+        for bucket, e, metas, (gmap, rows, K, ptag) in zip(
+            buckets, entries, metas_per, packs
+        ):
+            tag, off, shape = e["gmap"]
+            bufs[tag][off : off + len(gmap)] = gmap
+            tag, off, shape = e["packed"]
+            view = bufs[tag][off : off + int(np.prod(shape))].reshape(shape)
+            view[1 : K + 1] = rows  # row 0 stays all-zero
+            put(e["prime"], bucket.prime.astype(np.uint8))
+            put(e["final"], bucket.final.astype(np.uint8))
+            for g, ge, meta in zip(bucket.floor_groups, e["groups"], metas):
+                put(ge["used"], g.used.astype(np.uint8))
+                if meta["type"] == 1:
+                    put(ge["posts"], g.posts.astype(np.uint8))
+                    put(ge["step2"], g.step2.astype(np.uint8))
+                else:
+                    put(ge["coefficients"], g.coefficients)
+                    put(ge["amplitude"], g.amplitude)
+
+        offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
+        # pad the frame tables (offs stays ascending via +inf sentinels)
+        F_tab = _pad_size(len(offs))
+        pad_f = F_tab - len(offs)
+        if pad_f:
+            offs = np.concatenate(
+                [offs, np.full(pad_f, np.iinfo(np.int32).max, dtype=np.int32)]
+            )
+            ends = np.concatenate([ends, np.zeros(pad_f, dtype=np.int32)])
+            fbase_off = np.concatenate(
+                [fbase_off, np.zeros(pad_f, dtype=np.int32)]
+            )
+        segs = plan.segments
+        total = plan.pcm_length
+        uniform = len(segs) == 1 and segs[0][0] == 0
+        out_len = _pad_size(max(total, 1), 65536)
+        if uniform:
+            # kept positions are exactly [0, total): generate on device
+            seg_sig = None
+            pos = None
+        else:
+            # dynamic position list (padded with out-of-range sentinels so
+            # the padded tail gathers zeros) — keeps the compiled program
+            # independent of the segment structure
+            seg_sig = "dynamic"
+            pos = np.full(out_len, np.iinfo(np.int32).max, dtype=np.int32)
+            c = 0
+            for s_, e_ in segs:
+                if e_ > s_:
+                    pos[c : c + e_ - s_] = np.arange(s_, e_, dtype=np.int32)
+                    c += e_ - s_
+        sig = (
+            statics,
+            tuple(padded_n),
+            seg_sig,
+            out_len,
+            F_tab,
+            output,
+        )
+        host_args = [f32, i32, i16, u8, offs, ends, fbase_off]
+        if pos is not None:
+            host_args.append(pos)
+        device_args = tuple(jax.device_put(x) for x in host_args)
+        return sig, device_args, total, uniform
+
+    def run(self, sig, device_args, total, uniform) -> jax.Array:
+        fn = self._fused_fn(sig)
+        out = fn(*device_args)
+        # output is padded to the quantized out_len in both position modes;
+        # the kept samples occupy the first `total` columns in order
+        return out[:, :total]
+
+    def assemble(
+        self,
+        plan: FramePlan,
+        buckets: list[BucketBatch],
+        output: str = "f32",
+    ) -> jax.Array:
+        """Synthesize all buckets and gather-assemble the PCM -> [C, pcm],
+        as ONE fused XLA program (single dispatch; overlap-add is two gathers
+        per output sample — no scatter, no accumulator).
+
+        ``output``: "f32" (float PCM) or "s16" (device-side clip + quantize,
+        libvorbisfile-compatible — halves the device->host transfer).
+
+        All dynamic shapes (bucket rows, frame-table length, output length)
+        are padded to a quantized size series so repeated decodes of
+        similarly-sized streams reuse the compiled program."""
+        if not buckets:
+            dt = jnp.int16 if output == "s16" else jnp.float32
+            return jnp.zeros((self.channels, 0), dtype=dt)
+        return self.run(*self.prepare(plan, buckets, output))
 
 
 class _FrozenMeta(tuple):
@@ -264,7 +531,7 @@ def decode_stream_batch(provider, *, clip_samples: bool = True) -> np.ndarray:
     dec.initialize()
     setup = dec._setup
     plan = build_plan(provider, setup)
-    buckets = extract_batch(plan, setup, dec.channels)
+    buckets = extract_batch(plan, setup, dec.channels, ident=dec._ident)
     synth = BatchSynthesizer(setup, dec.channels)
     pcm = np.array(synth.assemble(plan, buckets), dtype=np.float32)
     if clip_samples:

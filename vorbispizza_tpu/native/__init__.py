@@ -1,0 +1,153 @@
+"""Native (C++) entropy front end: build-on-demand loader + ctypes wrapper.
+
+Counterpart of the reference's SIMD hot paths (Codebook.DecodeScalar,
+Huffman prefix table, Floor1.Unpack, Residue0.Decode). The shared library
+is compiled lazily from frontend.cpp with g++ and cached next to the
+source; decode_packets() fans packets out across threads and fills dense
+numpy tensors for the TPU synthesis pipeline.
+
+Falls back cleanly: callers check ``available()`` and use the pure-Python
+path when the toolchain or build is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "frontend.cpp")
+_LIB = os.path.join(_DIR, "_frontend.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    """Compile frontend.cpp -> _frontend.so; returns error text or None."""
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", "-o", _LIB + ".tmp", _SRC,
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired) as e:  # no toolchain
+        return str(e)
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    os.replace(_LIB + ".tmp", _LIB)
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        need_build = (
+            not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        )
+        if need_build:
+            _build_error = _build()
+            if _build_error is not None:
+                return None
+        try:
+            lib = C.CDLL(_LIB)
+        except OSError as e:
+            _build_error = str(e)
+            return None
+        lib.vp_decode_packets.restype = C.c_int
+        lib.vp_decode_packets.argtypes = [
+            C.c_char_p, C.c_int64,            # blob
+            C.c_char_p, C.POINTER(C.c_int64), C.c_int64,  # packets
+            C.POINTER(C.c_int32),             # meta
+            C.POINTER(C.c_float),             # residues
+            C.POINTER(C.c_int32),             # posts
+            C.POINTER(C.c_uint8),             # step2
+            C.POINTER(C.c_uint8),             # used
+            C.POINTER(C.c_float),             # f0_coeffs
+            C.POINTER(C.c_int32),             # f0_amp
+            C.c_int,                          # n_threads
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(C.POINTER(ctype))
+
+
+def decode_packets(
+    blob: bytes,
+    packets: list[bytes],
+    channels: int,
+    max_half: int,
+    max_order: int,
+    n_threads: int | None = None,
+):
+    """Decode audio packets -> dense tensors.
+
+    Returns dict with: meta [P,4] i32 (ok, mode_idx, prev, next),
+    residues [P,C,max_half] f32 (pre-coupling), posts [P,C,65] i32,
+    step2 [P,C,65] u8, used [P,C] u8, f0_coeffs [P,C,max_order] f32,
+    f0_amp [P,C] i32."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native front end unavailable: {_build_error}")
+    P = len(packets)
+    offs = np.zeros(P + 1, dtype=np.int64)
+    for i, p in enumerate(packets):
+        offs[i + 1] = offs[i] + len(p)
+    data = b"".join(packets)
+
+    meta = np.zeros((P, 4), dtype=np.int32)
+    # residues[:, :, :half] is fully written by the decoder for every audio
+    # packet; the tail past each packet's half-blocksize is never read
+    residues = np.empty((P, channels, max_half), dtype=np.float32)
+    posts = np.zeros((P, channels, 65), dtype=np.int32)
+    step2 = np.zeros((P, channels, 65), dtype=np.uint8)
+    used = np.zeros((P, channels), dtype=np.uint8)
+    mo = max(max_order, 1)
+    f0_coeffs = np.zeros((P, channels, mo), dtype=np.float32)
+    f0_amp = np.zeros((P, channels), dtype=np.int32)
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.vp_decode_packets(
+        blob, len(blob),
+        data, offs.ctypes.data_as(C.POINTER(C.c_int64)), P,
+        _ptr(meta, C.c_int32),
+        _ptr(residues, C.c_float),
+        _ptr(posts, C.c_int32),
+        _ptr(step2, C.c_uint8),
+        _ptr(used, C.c_uint8),
+        _ptr(f0_coeffs, C.c_float),
+        _ptr(f0_amp, C.c_int32),
+        int(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"vp_decode_packets failed: {rc}")
+    return {
+        "meta": meta,
+        "residues": residues,
+        "posts": posts,
+        "step2": step2,
+        "used": used,
+        "f0_coeffs": f0_coeffs,
+        "f0_amp": f0_amp,
+    }

@@ -1,0 +1,666 @@
+// Native entropy front end: per-packet Vorbis floor/residue decode.
+//
+// Exact behavioral mirror of the Python host path (bitstream.py,
+// setup/codebook.py decode_scalar, setup/floor.py unpack/unwrap,
+// setup/residue.py decode, setup/mapping.py decode_packet_raw) — the
+// counterpart of the reference's SIMD-accelerated managed hot loops
+// (NVorbis/Codebook.cs:300, Huffman.cs:24, Floor1.cs:162, Residue0.cs:117).
+// Packets are independent after header parse, so decode fans out across
+// threads; outputs land in caller-allocated dense tensors ready for the
+// TPU synthesis pipeline.
+//
+// Setup config arrives as one flat binary blob (native/serialize.py writes
+// it, _parse_setup below reads it; all fields little-endian, arrays 4-byte
+// aligned).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread (native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- bit reader
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbits;
+    int64_t pos = 0;
+    bool overrun = false;
+
+    BitReader(const uint8_t* d, int64_t len) : data(d), nbits(8 * len) {}
+
+    uint64_t peek(int count) const {
+        if (count <= 0) return 0;
+        int64_t byte_pos = pos >> 3;
+        int bit_off = (int)(pos & 7);
+        int64_t total_bytes = nbits >> 3;
+        uint64_t v = 0;
+        if (byte_pos + 8 <= total_bytes) {
+            std::memcpy(&v, data + byte_pos, 8);  // little-endian host
+            v >>= bit_off;
+            if (count + bit_off > 64 && bit_off > 0 &&
+                byte_pos + 8 < total_bytes) {
+                uint64_t hi = data[byte_pos + 8];
+                v |= hi << (64 - bit_off);
+            }
+        } else {
+            // near the end: gather what remains, zero-extend (bitstream.py
+            // semantics — past-end bits read as 0)
+            int64_t take = total_bytes - byte_pos;
+            if (take < 0) take = 0;
+            if (take > 0) std::memcpy(&v, data + byte_pos, (size_t)take);
+            v >>= bit_off;
+        }
+        if (count >= 64) return v;
+        return v & ((1ull << count) - 1);
+    }
+
+    uint64_t read(int count) {
+        uint64_t v = peek(count);
+        pos += count;
+        if (pos > nbits) { pos = nbits; overrun = true; }
+        return v;
+    }
+
+    void skip(int count) {
+        pos += count;
+        if (pos > nbits) { pos = nbits; overrun = true; }
+    }
+
+    int64_t remaining() const { return nbits - pos; }
+};
+
+// ---------------------------------------------------------------- setup view
+
+constexpr int PREFIX_BITS = 10;
+constexpr int PREFIX_SIZE = 1 << PREFIX_BITS;
+
+struct CodebookV {
+    uint32_t dims, entries, max_len, has_lookup;
+    const int32_t* prefix_sym;   // [1024]
+    const int32_t* prefix_len;   // [1024]
+    uint32_t n_overflow;
+    const uint32_t* ov;          // [n_overflow*3]: len, bits, sym (sorted by len)
+    const float* lookup;         // [entries*dims] or null
+
+    // mirror of Codebook.decode_scalar (setup/codebook.py:193)
+    int decode_scalar(BitReader& br) const {
+        uint64_t v = br.peek(max_len < (uint32_t)PREFIX_BITS ? (int)max_len
+                                                             : PREFIX_BITS);
+        int32_t sym = prefix_sym[v & (PREFIX_SIZE - 1)];
+        if (sym >= 0) {
+            int32_t l = prefix_len[v & (PREFIX_SIZE - 1)];
+            if (l > br.remaining()) { br.skip(l); return -1; }
+            br.skip(l);
+            return sym;
+        }
+        if (max_len > (uint32_t)PREFIX_BITS) {
+            uint64_t w = br.peek((int)max_len);
+            for (uint32_t i = 0; i < n_overflow; i++) {
+                uint32_t l = ov[3 * i], bits = ov[3 * i + 1], s = ov[3 * i + 2];
+                if ((w & ((1ull << l) - 1)) == bits) {
+                    if ((int64_t)l > br.remaining()) { br.skip((int)l); return -1; }
+                    br.skip((int)l);
+                    return (int)s;
+                }
+            }
+        }
+        br.skip(max_len ? (int)max_len : 1);
+        return -1;
+    }
+};
+
+struct Floor0V {
+    uint32_t order, amplitude_bits, amplitude_offset, book_bits, n_books;
+    const uint32_t* book_ids;
+};
+
+struct Floor1V {
+    uint32_t n_partitions;
+    const uint32_t* partition_classes;
+    uint32_t n_classes;
+    std::vector<uint32_t> class_dims, class_subclasses;
+    std::vector<int32_t> class_masterbooks;
+    std::vector<std::vector<int32_t>> subclass_books;
+    uint32_t multiplier, range, y_bits, n_posts;
+    const int32_t* xs;
+    const int32_t* low_nb;
+    const int32_t* high_nb;
+};
+
+struct FloorV {
+    uint32_t ftype;
+    Floor0V f0;
+    Floor1V f1;
+};
+
+struct ResidueV {
+    uint32_t rtype, begin, end, psize, ncls, classbook;
+    const uint32_t* cascades;  // [ncls]
+    const int32_t* books;      // [ncls*8], -1 = none
+};
+
+struct MappingV {
+    uint32_t n_submaps, n_coupling;
+    const uint32_t* steps;          // [2*n_coupling]
+    const uint32_t* mux;            // [channels]
+    const uint32_t* submap_floor;   // [n_submaps]
+    const uint32_t* submap_residue; // [n_submaps]
+};
+
+struct ModeV {
+    uint32_t block_flag, mapping_idx;
+};
+
+struct Setup {
+    uint32_t channels, bs0, bs1, mode_bits;
+    std::vector<CodebookV> codebooks;
+    std::vector<FloorV> floors;
+    std::vector<ResidueV> residues;
+    std::vector<MappingV> mappings;
+    std::vector<ModeV> modes;
+    uint32_t max_half;   // bs1 / 2
+    uint32_t max_order;  // max floor0 order (0 if none)
+};
+
+struct BlobReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+
+    uint32_t u32() {
+        if (p + 4 > end) { ok = false; return 0; }
+        uint32_t v;
+        std::memcpy(&v, p, 4);
+        p += 4;
+        return v;
+    }
+    const int32_t* i32_arr(size_t n) {
+        if (p + 4 * n > end) { ok = false; return nullptr; }
+        const int32_t* v = reinterpret_cast<const int32_t*>(p);
+        p += 4 * n;
+        return v;
+    }
+    const uint32_t* u32_arr(size_t n) {
+        return reinterpret_cast<const uint32_t*>(i32_arr(n));
+    }
+    const float* f32_arr(size_t n) {
+        return reinterpret_cast<const float*>(i32_arr(n));
+    }
+};
+
+bool parse_setup(const uint8_t* blob, int64_t len, Setup& s) {
+    BlobReader b{blob, blob + len};
+    if (b.u32() != 0x56505445u || b.u32() != 1u) return false;
+    s.channels = b.u32();
+    s.bs0 = b.u32();
+    s.bs1 = b.u32();
+    s.mode_bits = b.u32();
+    s.max_half = s.bs1 / 2;
+    s.max_order = 0;
+
+    uint32_t n_cb = b.u32();
+    s.codebooks.resize(n_cb);
+    for (auto& cb : s.codebooks) {
+        cb.dims = b.u32();
+        cb.entries = b.u32();
+        cb.max_len = b.u32();
+        cb.has_lookup = b.u32();
+        cb.prefix_sym = b.i32_arr(PREFIX_SIZE);
+        cb.prefix_len = b.i32_arr(PREFIX_SIZE);
+        cb.n_overflow = b.u32();
+        cb.ov = b.u32_arr((size_t)cb.n_overflow * 3);
+        cb.lookup = cb.has_lookup ? b.f32_arr((size_t)cb.entries * cb.dims)
+                                  : nullptr;
+    }
+
+    uint32_t n_fl = b.u32();
+    s.floors.resize(n_fl);
+    for (auto& fl : s.floors) {
+        fl.ftype = b.u32();
+        if (fl.ftype == 0) {
+            auto& f = fl.f0;
+            f.order = b.u32();
+            f.amplitude_bits = b.u32();
+            f.amplitude_offset = b.u32();
+            f.book_bits = b.u32();
+            f.n_books = b.u32();
+            f.book_ids = b.u32_arr(f.n_books);
+            if (f.order > s.max_order) s.max_order = f.order;
+        } else {
+            auto& f = fl.f1;
+            f.n_partitions = b.u32();
+            f.partition_classes = b.u32_arr(f.n_partitions);
+            f.n_classes = b.u32();
+            f.class_dims.resize(f.n_classes);
+            f.class_subclasses.resize(f.n_classes);
+            f.class_masterbooks.resize(f.n_classes);
+            f.subclass_books.resize(f.n_classes);
+            for (uint32_t c = 0; c < f.n_classes; c++) {
+                f.class_dims[c] = b.u32();
+                f.class_subclasses[c] = b.u32();
+                f.class_masterbooks[c] = (int32_t)b.u32();
+                uint32_t nb = 1u << f.class_subclasses[c];
+                f.subclass_books[c].resize(nb);
+                const int32_t* arr = b.i32_arr(nb);
+                if (arr)
+                    for (uint32_t k = 0; k < nb; k++) f.subclass_books[c][k] = arr[k];
+            }
+            f.multiplier = b.u32();
+            f.range = b.u32();
+            f.y_bits = b.u32();
+            f.n_posts = b.u32();
+            f.xs = b.i32_arr(f.n_posts);
+            f.low_nb = b.i32_arr(f.n_posts);
+            f.high_nb = b.i32_arr(f.n_posts);
+        }
+    }
+
+    uint32_t n_res = b.u32();
+    s.residues.resize(n_res);
+    for (auto& r : s.residues) {
+        r.rtype = b.u32();
+        r.begin = b.u32();
+        r.end = b.u32();
+        r.psize = b.u32();
+        r.ncls = b.u32();
+        r.classbook = b.u32();
+        r.cascades = b.u32_arr(r.ncls);
+        r.books = b.i32_arr((size_t)r.ncls * 8);
+    }
+
+    uint32_t n_map = b.u32();
+    s.mappings.resize(n_map);
+    for (auto& m : s.mappings) {
+        m.n_submaps = b.u32();
+        m.n_coupling = b.u32();
+        m.steps = b.u32_arr((size_t)m.n_coupling * 2);
+        m.mux = b.u32_arr(s.channels);
+        m.submap_floor = b.u32_arr(m.n_submaps);
+        m.submap_residue = b.u32_arr(m.n_submaps);
+    }
+
+    uint32_t n_modes = b.u32();
+    s.modes.resize(n_modes);
+    for (auto& m : s.modes) {
+        m.block_flag = b.u32();
+        m.mapping_idx = b.u32();
+    }
+    return b.ok;
+}
+
+// ---------------------------------------------------------------- floor decode
+
+// mirror of Floor1.unpack + _unwrap (setup/floor.py:212,245)
+bool floor1_unpack(const Floor1V& f, const Setup& s, BitReader& br,
+                   int32_t* out_posts, uint8_t* out_step2) {
+    if (!br.read(1) || br.overrun) return false;
+    int64_t ys[65];
+    ys[0] = (int64_t)br.read((int)f.y_bits);
+    ys[1] = (int64_t)br.read((int)f.y_bits);
+    uint32_t offset = 2;
+    for (uint32_t pi = 0; pi < f.n_partitions; pi++) {
+        uint32_t cls = f.partition_classes[pi];
+        uint32_t cdim = f.class_dims[cls];
+        uint32_t cbits = f.class_subclasses[cls];
+        uint32_t csub = (1u << cbits) - 1;
+        int64_t cval = 0;
+        if (cbits > 0) {
+            cval = s.codebooks[f.class_masterbooks[cls]].decode_scalar(br);
+            if (cval < 0) return false;
+        }
+        for (uint32_t j = 0; j < cdim; j++) {
+            int32_t book = f.subclass_books[cls][cval & csub];
+            cval >>= cbits;
+            if (book >= 0) {
+                int v = s.codebooks[book].decode_scalar(br);
+                if (v < 0) return false;
+                ys[offset + j] = v;
+            } else {
+                ys[offset + j] = 0;
+            }
+        }
+        offset += cdim;
+    }
+    if (br.overrun) return false;
+
+    // unwrap (prediction + room folding)
+    int64_t rng = f.range;
+    int64_t fin[65];
+    uint8_t st2[65];
+    fin[0] = ys[0];
+    fin[1] = ys[1];
+    st2[0] = st2[1] = 1;
+    for (uint32_t i = 2; i < f.n_posts; i++) {
+        int32_t low = f.low_nb[i], high = f.high_nb[i];
+        // render_point (spec 9.2.6)
+        int64_t x0 = f.xs[low], y0 = fin[low], x1 = f.xs[high], y1 = fin[high];
+        int64_t dy = y1 - y0, adx = x1 - x0;
+        int64_t err = (dy < 0 ? -dy : dy) * ((int64_t)f.xs[i] - x0);
+        int64_t off = err / adx;
+        int64_t predicted = dy < 0 ? y0 - off : y0 + off;
+        int64_t val = ys[i];
+        int64_t highroom = rng - predicted;
+        int64_t lowroom = predicted;
+        int64_t room = 2 * (highroom < lowroom ? highroom : lowroom);
+        if (val) {
+            st2[low] = 1;
+            st2[high] = 1;
+            st2[i] = 1;
+            if (val >= room) {
+                fin[i] = highroom > lowroom ? val - lowroom + predicted
+                                            : predicted - val + highroom - 1;
+            } else {
+                fin[i] = (val & 1) ? predicted - ((val + 1) >> 1)
+                                   : predicted + (val >> 1);
+            }
+        } else {
+            st2[i] = 0;
+            fin[i] = predicted;
+        }
+    }
+    for (uint32_t i = 0; i < f.n_posts; i++) {
+        out_posts[i] = (int32_t)fin[i];
+        out_step2[i] = st2[i];
+    }
+    return true;
+}
+
+// mirror of Floor0.unpack (setup/floor.py:93)
+bool floor0_unpack(const Floor0V& f, const Setup& s, BitReader& br,
+                   float* out_coeffs, int32_t* out_amp) {
+    int64_t amplitude = (int64_t)br.read((int)f.amplitude_bits);
+    if (amplitude <= 0 || br.overrun) return false;
+    uint64_t book_num = br.read((int)f.book_bits);
+    if (book_num >= f.n_books) return false;
+    const CodebookV& book = s.codebooks[f.book_ids[book_num]];
+    double coeffs[256];
+    uint32_t n = 0;
+    double last = 0.0;
+    while (n < f.order) {
+        int sym = book.decode_scalar(br);
+        if (sym < 0) return false;
+        const float* vec = book.lookup + (size_t)sym * book.dims;
+        for (uint32_t d = 0; d < book.dims && n < 256; d++)
+            coeffs[n++] = (double)vec[d] + last;
+        last = coeffs[n - 1];
+    }
+    for (uint32_t i = 0; i < f.order; i++) out_coeffs[i] = (float)coeffs[i];
+    *out_amp = (int32_t)amplitude;
+    return true;
+}
+
+// ---------------------------------------------------------------- residue
+
+// mirror of Residue._decode_partition (setup/residue.py:146)
+inline bool decode_partition(const CodebookV& book, BitReader& br, double* vec,
+                             int64_t vec_len, int64_t offset, int64_t psize,
+                             bool fmt1) {
+    int64_t dims = book.dims;
+    const float* table = book.lookup;
+    if (fmt1) {
+        for (int64_t i = 0; i < psize; i += dims) {
+            int sym = book.decode_scalar(br);
+            if (sym < 0) return false;
+            const float* row = table + (size_t)sym * dims;
+            int64_t lim = offset + i + dims;
+            if (lim > vec_len) lim = vec_len;
+            for (int64_t k = offset + i, d = 0; k < lim; k++, d++)
+                vec[k] += row[d];
+        }
+    } else {
+        int64_t step = psize / dims;
+        for (int64_t k = 0; k < step; k++) {
+            int sym = book.decode_scalar(br);
+            if (sym < 0) return false;
+            const float* row = table + (size_t)sym * dims;
+            for (int64_t d = 0, idx = offset + k; d < dims && idx < vec_len;
+                 d++, idx += step)
+                vec[idx] += row[d];
+        }
+    }
+    return true;
+}
+
+// mirror of Residue._decode_core (setup/residue.py:95)
+void residue_decode_core(const ResidueV& r, const Setup& s, BitReader& br,
+                         double** vectors, int64_t vec_len, int n_ch,
+                         const bool* do_not_decode, int64_t actual_size,
+                         bool force_format1, std::vector<int64_t>& cls_buf) {
+    int64_t limit_begin = r.begin < actual_size ? r.begin : actual_size;
+    int64_t limit_end = r.end < actual_size ? r.end : actual_size;
+    int64_t n_to_read = limit_end - limit_begin;
+    if (n_to_read <= 0) return;
+    int64_t psize = r.psize;
+    int64_t partitions_to_read = n_to_read / psize;
+    const CodebookV& classbook = s.codebooks[r.classbook];
+    int64_t cwords = classbook.dims;
+    bool fmt1 = force_format1 || r.rtype != 0;
+    int64_t ncls = r.ncls;
+
+    int64_t stride = partitions_to_read + cwords;
+    cls_buf.assign((size_t)(n_ch * stride), 0);
+
+    for (int p = 0; p < 8; p++) {
+        int64_t partition_count = 0;
+        while (partition_count < partitions_to_read) {
+            if (p == 0) {
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    int64_t temp = classbook.decode_scalar(br);
+                    if (temp < 0) return;  // EOP: keep partial data
+                    for (int64_t i = cwords - 1; i >= 0; i--) {
+                        cls_buf[(size_t)(j * stride + partition_count + i)] =
+                            temp % ncls;
+                        temp /= ncls;
+                    }
+                }
+            }
+            for (int64_t w = 0; w < cwords; w++) {
+                if (partition_count >= partitions_to_read) break;
+                int64_t offset = limit_begin + partition_count * psize;
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    int64_t cls = cls_buf[(size_t)(j * stride + partition_count)];
+                    int32_t book_idx = r.books[(size_t)cls * 8 + p];
+                    if (book_idx < 0) continue;
+                    if (!decode_partition(s.codebooks[book_idx], br, vectors[j],
+                                          vec_len, offset, psize, fmt1))
+                        return;  // EOP
+                }
+                partition_count++;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------- packet decode
+
+struct Outputs {
+    int32_t* meta;       // [n_pkts, 4]: ok, mode_idx, prev, next
+    float* residues;     // [n_pkts, C, max_half]
+    int32_t* posts;      // [n_pkts, C, 65]
+    uint8_t* step2;      // [n_pkts, C, 65]
+    uint8_t* used;       // [n_pkts, C]
+    float* f0_coeffs;    // [n_pkts, C, max_order] (or null)
+    int32_t* f0_amp;     // [n_pkts, C] (or null)
+};
+
+struct Scratch {
+    std::vector<double> acc;        // [C * max_half] or [C*max_half] flat (type2)
+    std::vector<double*> vec_ptrs;
+    std::vector<bool> dummy;
+    std::vector<int64_t> cls_buf;
+};
+
+void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
+                const Outputs& o, Scratch& sc) {
+    int32_t* meta = o.meta + pkt * 4;
+    meta[0] = 0;
+    if (len <= 0) return;
+    BitReader br(data, len);
+    if (br.read(1)) return;  // not an audio packet
+    uint64_t mode_idx = br.read((int)s.mode_bits);
+    if (mode_idx >= s.modes.size() || br.overrun) return;
+    const ModeV& mode = s.modes[mode_idx];
+    int prev = 0, next = 0;
+    if (mode.block_flag) {
+        prev = (int)br.read(1);
+        next = (int)br.read(1);
+    }
+    if (br.overrun) return;
+    meta[1] = (int32_t)mode_idx;
+    meta[2] = prev;
+    meta[3] = next;
+    meta[0] = 1;
+
+    const MappingV& map = s.mappings[mode.mapping_idx];
+    uint32_t C = s.channels;
+    int64_t n = mode.block_flag ? s.bs1 : s.bs0;
+    int64_t half = n / 2;
+
+    // 1. floors for all channels
+    bool floor_used[256];
+    for (uint32_t c = 0; c < C; c++) {
+        const FloorV& fl = s.floors[map.submap_floor[map.mux[c]]];
+        bool ok;
+        if (fl.ftype == 1) {
+            ok = floor1_unpack(fl.f1, s, br,
+                               o.posts + (pkt * C + c) * 65,
+                               o.step2 + (pkt * C + c) * 65);
+        } else {
+            ok = floor0_unpack(fl.f0, s, br,
+                               o.f0_coeffs + (pkt * C + c) * s.max_order,
+                               o.f0_amp + pkt * C + c);
+        }
+        floor_used[c] = ok;
+        o.used[pkt * C + c] = ok ? 1 : 0;
+    }
+
+    // 2. nonzero propagation through couplings
+    bool no_residue[256];
+    for (uint32_t c = 0; c < C; c++) no_residue[c] = !floor_used[c];
+    for (uint32_t k = 0; k < map.n_coupling; k++) {
+        uint32_t m = map.steps[2 * k], a = map.steps[2 * k + 1];
+        if (!(no_residue[m] && no_residue[a])) {
+            no_residue[m] = false;
+            no_residue[a] = false;
+        }
+    }
+
+    // 3. residue decode per submap -> double accumulators -> f32 out
+    sc.acc.assign((size_t)C * s.max_half, 0.0);
+    float* res_out = o.residues + pkt * C * s.max_half;
+
+    for (uint32_t sm = 0; sm < map.n_submaps; sm++) {
+        int ch_list[256];
+        int n_ch = 0;
+        for (uint32_t c = 0; c < C; c++)
+            if (map.mux[c] == sm) ch_list[n_ch++] = (int)c;
+        if (n_ch == 0) continue;
+        const ResidueV& r = s.residues[map.submap_residue[sm]];
+
+        if (r.rtype == 2) {
+            // all channels interleaved in one vector (spec 8.6.5)
+            bool all_dnd = true;
+            for (int j = 0; j < n_ch; j++) all_dnd &= no_residue[ch_list[j]];
+            if (all_dnd) continue;
+            std::vector<double>& flat = sc.acc;  // reuse region scratch
+            // use a separate flat buffer: n * n_ch doubles
+            static thread_local std::vector<double> flat2;
+            flat2.assign((size_t)half * n_ch, 0.0);
+            double* vptr = flat2.data();
+            bool dnd0 = false;
+            double* vecs[1] = {vptr};
+            residue_decode_core(r, s, br, vecs, (int64_t)half * n_ch, 1, &dnd0,
+                                (int64_t)half * n_ch, true, sc.cls_buf);
+            // de-interleave: flat[i*n_ch + j] -> channel ch_list[j][i]
+            for (int j = 0; j < n_ch; j++) {
+                double* dst = flat.data() + (size_t)ch_list[j] * s.max_half;
+                for (int64_t i = 0; i < half; i++)
+                    dst[i] = flat2[(size_t)i * n_ch + j];
+            }
+        } else {
+            double* vecs[256];
+            bool dnd[256];
+            for (int j = 0; j < n_ch; j++) {
+                vecs[j] = sc.acc.data() + (size_t)ch_list[j] * s.max_half;
+                dnd[j] = no_residue[ch_list[j]];
+            }
+            residue_decode_core(r, s, br, vecs, half, n_ch, dnd, half,
+                                false, sc.cls_buf);
+        }
+    }
+    for (uint32_t c = 0; c < C; c++) {
+        const double* src = sc.acc.data() + (size_t)c * s.max_half;
+        float* dst = res_out + (size_t)c * s.max_half;
+        for (int64_t i = 0; i < half; i++) dst[i] = (float)src[i];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
+                      const uint8_t* pkt_data, const int64_t* pkt_off,
+                      int64_t n_pkts, int32_t* meta, float* residues,
+                      int32_t* posts, uint8_t* step2, uint8_t* used,
+                      float* f0_coeffs, int32_t* f0_amp, int n_threads) {
+    Setup s;
+    if (!parse_setup(blob, blob_len, s)) return -1;
+    if (s.channels > 256) return -2;
+    Outputs o{meta, residues, posts, step2, used, f0_coeffs, f0_amp};
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > (int)n_pkts) n_threads = (int)(n_pkts > 0 ? n_pkts : 1);
+
+    auto work = [&](int64_t lo, int64_t hi) {
+        Scratch sc;
+        for (int64_t i = lo; i < hi; i++) {
+            decode_one(s, pkt_data + pkt_off[i], pkt_off[i + 1] - pkt_off[i],
+                       i, o, sc);
+        }
+    };
+
+    if (n_threads == 1) {
+        work(0, n_pkts);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t chunk = (n_pkts + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; t++) {
+            int64_t lo = t * chunk;
+            int64_t hi = lo + chunk < n_pkts ? lo + chunk : n_pkts;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}
+
+// exact sample-count measurement without decode (mode header only):
+// returns blocksize exponent table use — kept minimal for the granule path
+int vp_packet_blocksizes(const uint8_t* blob, int64_t blob_len,
+                         const uint8_t* pkt_data, const int64_t* pkt_off,
+                         int64_t n_pkts, int32_t* out_n) {
+    Setup s;
+    if (!parse_setup(blob, blob_len, s)) return -1;
+    for (int64_t i = 0; i < n_pkts; i++) {
+        const uint8_t* data = pkt_data + pkt_off[i];
+        int64_t len = pkt_off[i + 1] - pkt_off[i];
+        out_n[i] = 0;
+        if (len <= 0) continue;
+        BitReader br(data, len);
+        if (br.read(1)) continue;
+        uint64_t mode_idx = br.read((int)s.mode_bits);
+        if (mode_idx >= s.modes.size() || br.overrun) continue;
+        out_n[i] = s.modes[mode_idx].block_flag ? (int32_t)s.bs1 : (int32_t)s.bs0;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -20,14 +20,15 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from ..errors import InvalidDataError, SeekOutOfRangeError
 from .page import Page
 
 
-@dataclass(frozen=True)
-class Packet:
-    """One assembled Vorbis packet."""
+class Packet(NamedTuple):
+    """One assembled Vorbis packet (NamedTuple: constructed ~1900x/s of
+    audio, so creation cost matters on the batch front-end path)."""
 
     data: bytes
     granule: int  # end-page granule if this packet is the last to complete there
@@ -267,7 +268,7 @@ class PacketProvider:
         granule = end_meta.granule if is_last_completed and end_meta.granule >= 0 else -1
         is_eos = bool(end_meta.flags & 0x04) and is_last_completed
         return Packet(
-            data=b"".join(parts),
+            data=parts[0] if len(parts) == 1 else b"".join(parts),
             granule=granule,
             is_resync=False,
             is_end_of_stream=is_eos,

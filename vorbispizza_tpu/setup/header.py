@@ -113,6 +113,26 @@ class SetupHeader:
     mode_bits: int  # bits to read for the per-packet mode number
 
 
+_SETUP_CACHE: dict = {}
+_SETUP_CACHE_MAX = 64
+
+
+def parse_setup_cached(data: bytes, ident: IdentHeader) -> SetupHeader:
+    """Content-addressed setup parse: corpus files produced by the same
+    encoder settings share byte-identical setup headers, so the expensive
+    codebook/Huffman construction amortizes across streams. SetupHeader is
+    immutable after construction, so sharing is safe."""
+    key = (hash(data), ident.channels, ident.blocksizes)
+    hit = _SETUP_CACHE.get(key)
+    if hit is not None and hit[0] == data:
+        return hit[1]
+    setup = parse_setup(data, ident)
+    if len(_SETUP_CACHE) >= _SETUP_CACHE_MAX:
+        _SETUP_CACHE.clear()
+    _SETUP_CACHE[key] = (data, setup)
+    return setup
+
+
 def parse_setup(data: bytes, ident: IdentHeader) -> SetupHeader:
     br = BitReader(data)
     if br.read_bits(8) != 0x05 or br.read_bytes(6) != _VORBIS:
