@@ -61,8 +61,9 @@ def main() -> None:
     rtf_device = measure(output="device")
 
     # single-stream end-to-end (no cross-stream overlap), for the breakdown
+    decode_corpus(corpus[:1], output="s16")  # warm single-stream shapes
     t0 = time.perf_counter()
-    decode_corpus(corpus[:1])
+    decode_corpus(corpus[:1], output="s16")
     single = (total_audio / n_streams) / (time.perf_counter() - t0)
 
     print(

@@ -8,6 +8,7 @@ floor synthesis, coupling inverse, IMDCT, windowed overlap-add.
 
 __version__ = "0.1.0"
 
+from .config import VorbisConfig
 from .decoder import StreamDecoder
 from .errors import (
     EndOfStreamError,
@@ -21,6 +22,7 @@ from .stats import StreamStats
 from .tags import TagData
 
 __all__ = [
+    "VorbisConfig",
     "StreamDecoder",
     "VorbisReader",
     "StreamStats",

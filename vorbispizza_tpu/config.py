@@ -1,0 +1,30 @@
+"""Decoder configuration (reference NVorbis/VorbisConfig.cs:6 analog).
+
+The reference's config carries a shared page-buffer pool; pooling is a
+garbage-collector concern that does not exist in this design (pages are
+numpy views), so the TPU-native config instead carries the knobs of the
+batch pipeline and decode defaults. ``VorbisConfig.default`` mirrors the
+reference's ``VorbisConfig.Default`` singleton.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass
+class VorbisConfig:
+    clip_samples: bool = True  # reference StreamDecoder.ClipSamples
+    skip_tags: bool = False  # reference StreamDecoder.SkipTags
+    # batch pipeline knobs
+    use_native_frontend: bool = True  # C++ entropy decode when available
+    use_pallas_ola: bool | None = None  # None = auto (TPU only)
+    corpus_workers: int = 8  # front-end thread pool size
+    corpus_batch_bytes: int = 12 << 20  # merged-transfer cap per execution
+
+    def clone(self) -> "VorbisConfig":
+        """Reference VorbisConfig.Clone():26."""
+        return replace(self)
+
+
+VorbisConfig.default = VorbisConfig()

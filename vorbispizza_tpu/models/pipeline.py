@@ -30,6 +30,7 @@ from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, gather_assemble
+from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
 from ..setup.mode import window_geometry
 
 
@@ -57,10 +58,15 @@ class BatchSynthesizer:
     """Per-stream-setup device synthesis. Bucket functions are jitted once
     per (bucket key, padded frame count) and cached."""
 
-    def __init__(self, setup, channels: int):
+    def __init__(self, setup, channels: int, use_pallas_ola: bool | None = None):
         self.setup = setup
         self.channels = channels
         self._fns: dict = {}
+        if use_pallas_ola is None:
+            # the Pallas hop kernel targets real TPUs; interpret mode on CPU
+            # is for unit tests only (ops/ola_pallas.py)
+            use_pallas_ola = jax.default_backend() == "tpu"
+        self.use_pallas_ola = use_pallas_ola
 
     # -- one bucket: [F, C, half] tensors -> [F, C, n] windowed frames ----------
 
@@ -163,6 +169,53 @@ class BatchSynthesizer:
         return tuple(metas), inputs
 
     # -- full stream --------------------------------------------------------------
+
+    @staticmethod
+    def _flat_base(plan: FramePlan, buckets, padded_n):
+        """Flat-layout start index of each frame's sample 0: [n_frames]."""
+        flat_base = np.zeros(len(plan.frames), dtype=np.int64)
+        base = 0
+        for bucket, pn in zip(buckets, padded_n):
+            Fp, n = pn[0], pn[1]
+            flat_base[bucket.frame_indices] = base + np.arange(
+                len(bucket.frame_indices), dtype=np.int64
+            ) * n
+            base += Fp * n
+        return flat_base
+
+    def _build_hops(self, plan: FramePlan, flat_base):
+        """Per-class hop arrays for the Pallas OLA kernel, or None when the
+        plan has granule cuts (gather fallback). Returns (classes, total):
+        classes maps HopClass -> (src_a, src_b, dst) int32 lists."""
+        for chain, segs in zip(plan.chains, plan.chain_segments):
+            if len(chain) < 2:
+                if segs:
+                    return None
+                continue
+            first = plan.frames[chain[0]]
+            last = plan.frames[chain[-1]]
+            span = (
+                first.offset + first.info.n // 2,
+                last.offset + last.info.n // 2,
+            )
+            if segs != [span]:
+                return None  # trimmed stream: use the gather path
+        classes: dict[HopClass, tuple[list, list, list]] = {}
+        out_pos = 0
+        for chain in plan.chains:
+            for k in range(1, len(chain)):
+                fp = plan.frames[chain[k - 1]]
+                fc = plan.frames[chain[k]]
+                tail_prev = fp.info.right_end - fp.info.n // 2
+                cls, b_off = hop_class(
+                    fp.info.n, fc.info.n // 2, fc.info.left_end, tail_prev
+                )
+                rec = classes.setdefault(cls, ([], [], []))
+                rec[0].append(flat_base[chain[k - 1]] + fp.info.n // 2)
+                rec[1].append(flat_base[chain[k]] + b_off)
+                rec[2].append(out_pos)
+                out_pos += cls.length
+        return classes, out_pos
 
     def _frame_tables(self, plan: FramePlan, buckets, padded_n):
         """Per-frame OLA tables (host, tiny): effective support offsets/ends
@@ -277,8 +330,10 @@ class BatchSynthesizer:
         entries, _ = self._layout(statics, padded_n, self.channels)
         C = self.channels
 
-        def fused(f32_buf, i32_buf, i16_buf, u8_buf, offs, ends, fbase_off,
-                  pos_in=None):
+        hop_mode = isinstance(segments, tuple) and segments and segments[0] == "hops"
+        interpret = jax.default_backend() != "tpu"
+
+        def fused(f32_buf, i32_buf, i16_buf, u8_buf, *rest):
             bufs = {"f32": f32_buf, "i32": i32_buf, "i16": i16_buf, "u8": u8_buf}
 
             def take(slot_, bool_=False):
@@ -329,20 +384,32 @@ class BatchSynthesizer:
                 flats.append(frames.transpose(1, 0, 2).reshape(C, Fp * n))
             flat = jnp.concatenate(flats, axis=1)
 
-            # kept output positions (global coords)
-            if segments is None:
-                pos = jnp.arange(sig[3], dtype=jnp.int32)
-            else:  # "dynamic": host-provided position list
-                pos = pos_in
-            F = offs.shape[0]
-            a = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
-            a = jnp.clip(a, 0, F - 1)
-            a_valid = (pos >= jnp.take(offs, a)) & (pos < jnp.take(ends, a))
-            b = jnp.maximum(a - 1, 0)
-            b_valid = (a > 0) & (pos < jnp.take(ends, b))
-            a_idx = jnp.take(fbase_off, a) + pos
-            b_idx = jnp.take(fbase_off, b) + pos
-            pcm = gather_assemble(flat, a_idx, b_idx, b_valid, a_valid)
+            if hop_mode:
+                # Pallas per-hop DMA overlap-add (ops/ola_pallas.py)
+                out = jnp.zeros((C, sig[3]), dtype=jnp.float32)
+                args = iter(rest)
+                for cls, _hp in segments[1]:
+                    sa, sb, dd = next(args), next(args), next(args)
+                    out = ola_hop_class(
+                        flat, out, sa, sb, dd, cls, interpret=interpret
+                    )
+                pcm = out
+            else:
+                offs, ends, fbase_off = rest[0], rest[1], rest[2]
+                # kept output positions (global coords)
+                if segments is None:
+                    pos = jnp.arange(sig[3], dtype=jnp.int32)
+                else:  # "dynamic": host-provided position list
+                    pos = rest[3]
+                F = offs.shape[0]
+                a = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
+                a = jnp.clip(a, 0, F - 1)
+                a_valid = (pos >= jnp.take(offs, a)) & (pos < jnp.take(ends, a))
+                b = jnp.maximum(a - 1, 0)
+                b_valid = (a > 0) & (pos < jnp.take(ends, b))
+                a_idx = jnp.take(fbase_off, a) + pos
+                b_idx = jnp.take(fbase_off, b) + pos
+                pcm = gather_assemble(flat, a_idx, b_idx, b_valid, a_valid)
             if output == "s16":
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
@@ -427,37 +494,67 @@ class BatchSynthesizer:
                     put(ge["coefficients"], g.coefficients)
                     put(ge["amplitude"], g.amplitude)
 
-        offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
-        # pad the frame tables (offs stays ascending via +inf sentinels)
-        F_tab = _pad_size(len(offs))
-        pad_f = F_tab - len(offs)
-        if pad_f:
-            offs = np.concatenate(
-                [offs, np.full(pad_f, np.iinfo(np.int32).max, dtype=np.int32)]
-            )
-            ends = np.concatenate([ends, np.zeros(pad_f, dtype=np.int32)])
-            fbase_off = np.concatenate(
-                [fbase_off, np.zeros(pad_f, dtype=np.int32)]
-            )
-        segs = plan.segments
         total = plan.pcm_length
-        uniform = len(segs) == 1 and segs[0][0] == 0
-        out_len = _pad_size(max(total, 1), 65536)
-        if uniform:
-            # kept positions are exactly [0, total): generate on device
-            seg_sig = None
-            pos = None
+        hops = None
+        if self.use_pallas_ola:
+            flat_base = self._flat_base(plan, buckets, padded_n)
+            hops = self._build_hops(plan, flat_base)
+        host_args = [f32, i32, i16, u8]
+        if hops is not None:
+            classes, out_pos = hops
+            assert out_pos == total, (out_pos, total)
+            max_l = max((c.length for c in classes), default=1)
+            out_len = _pad_size(total + max_l + 1, 65536)
+            hop_sig = []
+            # deterministic class order; pad hop counts to quantized sizes
+            # (dummy hops read row 0 and write into the padded tail)
+            for cls in sorted(
+                classes, key=lambda c: (c.length, c.prev_len, c.cur_off)
+            ):
+                sa, sb, dd = classes[cls]
+                H = len(sa)
+                Hp = _pad_size(H, 16)
+                arr = np.zeros((3, Hp), dtype=np.int32)
+                arr[0, :H] = sa
+                arr[1, :H] = sb
+                arr[2, :H] = dd
+                arr[2, H:] = total  # dummies write into the padded region
+                hop_sig.append((cls, Hp))
+                host_args.extend([arr[0], arr[1], arr[2]])
+            seg_sig = ("hops", tuple(hop_sig))
+            F_tab = 0
         else:
-            # dynamic position list (padded with out-of-range sentinels so
-            # the padded tail gathers zeros) — keeps the compiled program
-            # independent of the segment structure
-            seg_sig = "dynamic"
-            pos = np.full(out_len, np.iinfo(np.int32).max, dtype=np.int32)
-            c = 0
-            for s_, e_ in segs:
-                if e_ > s_:
-                    pos[c : c + e_ - s_] = np.arange(s_, e_, dtype=np.int32)
-                    c += e_ - s_
+            offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
+            # pad the frame tables (offs stays ascending via +inf sentinels)
+            F_tab = _pad_size(len(offs))
+            pad_f = F_tab - len(offs)
+            if pad_f:
+                offs = np.concatenate(
+                    [offs, np.full(pad_f, np.iinfo(np.int32).max, dtype=np.int32)]
+                )
+                ends = np.concatenate([ends, np.zeros(pad_f, dtype=np.int32)])
+                fbase_off = np.concatenate(
+                    [fbase_off, np.zeros(pad_f, dtype=np.int32)]
+                )
+            segs = plan.segments
+            uniform = len(segs) == 1 and segs[0][0] == 0
+            out_len = _pad_size(max(total, 1), 65536)
+            host_args.extend([offs, ends, fbase_off])
+            if uniform:
+                # kept positions are exactly [0, total): generate on device
+                seg_sig = None
+            else:
+                # dynamic position list (padded with out-of-range sentinels
+                # so the padded tail gathers zeros) — keeps the compiled
+                # program independent of the segment structure
+                seg_sig = "dynamic"
+                pos = np.full(out_len, np.iinfo(np.int32).max, dtype=np.int32)
+                c = 0
+                for s_, e_ in segs:
+                    if e_ > s_:
+                        pos[c : c + e_ - s_] = np.arange(s_, e_, dtype=np.int32)
+                        c += e_ - s_
+                host_args.append(pos)
         sig = (
             statics,
             tuple(padded_n),
@@ -466,11 +563,8 @@ class BatchSynthesizer:
             F_tab,
             output,
         )
-        host_args = [f32, i32, i16, u8, offs, ends, fbase_off]
-        if pos is not None:
-            host_args.append(pos)
         device_args = tuple(jax.device_put(x) for x in host_args)
-        return sig, device_args, total, uniform
+        return sig, device_args, total, True
 
     def run(self, sig, device_args, total, uniform) -> jax.Array:
         fn = self._fused_fn(sig)

@@ -55,30 +55,65 @@ def floor1_curves(
     hi = jnp.concatenate(
         [rmin[:, 1:], jnp.full((rmin.shape[0], 1), _BIG, dtype=rmin.dtype)], axis=1
     )
+    hi = jnp.minimum(hi, P)  # keep the "none" sentinel matmul-exact
 
-    bp = jnp.asarray(base_p)  # [half]
-    lo_b = jnp.take(lo, bp, axis=1)  # [G, half]
-    hi_b = jnp.take(hi, bp, axis=1)
+    # Gather-free expansion: TPU dynamic gathers are slow, so every
+    # bin-indexed lookup becomes a one-hot contraction on the MXU. All
+    # values involved are small integers — exact in float32.
+    sel = jnp.asarray(
+        (base_p[:, None] == np.arange(P)[None, :]).astype(np.float32)
+    )  # [half, P] static: bin -> base post
+    hp = jax.lax.Precision.HIGHEST
+    lo_b = jnp.matmul(lo.astype(jnp.float32), sel.T, precision=hp).astype(
+        jnp.int32
+    )
+    hi_b = jnp.matmul(hi.astype(jnp.float32), sel.T, precision=hp).astype(
+        jnp.int32
+    )
     # posts[0] (x = 0) is always enabled for a used floor, so lo_b >= 0
     lo_b = jnp.maximum(lo_b, 0)
     has_hi = hi_b < P
     hi_c = jnp.where(has_hi, hi_b, 0)
 
-    xs_j = jnp.asarray(xs_s)
-    x0 = jnp.take(xs_j, lo_b)  # [G, half]
-    x1 = jnp.take(xs_j, jnp.where(has_hi, hi_b, lo_b))
-    y0 = jnp.take_along_axis(y_s, lo_b, axis=1)
-    y1 = jnp.take_along_axis(y_s, hi_c, axis=1)
+    pr = jnp.arange(P, dtype=jnp.int32)
+    oh_lo = (lo_b[..., None] == pr).astype(jnp.float32)  # [G, half, P]
+    oh_hi = (hi_c[..., None] == pr).astype(jnp.float32)
+    xs_f = jnp.asarray(xs_s.astype(np.float32))
+    y_f = y_s.astype(jnp.float32)
+    x0 = jnp.einsum("ghp,p->gh", oh_lo, xs_f, precision=hp).astype(jnp.int32)
+    x1 = jnp.where(
+        has_hi,
+        jnp.einsum("ghp,p->gh", oh_hi, xs_f, precision=hp).astype(jnp.int32),
+        x0,
+    )
+    y0 = jnp.einsum("ghp,gp->gh", oh_lo, y_f, precision=hp).astype(jnp.int32)
+    y1 = jnp.einsum("ghp,gp->gh", oh_hi, y_f, precision=hp).astype(jnp.int32)
 
     x = jnp.arange(half, dtype=jnp.int32)[None, :]
     dy = y1 - y0
     adx = jnp.maximum(x1 - x0, 1)
     off = (jnp.abs(dy) * (x - x0)) // adx
     val = jnp.where(has_hi, y0 + jnp.sign(dy) * off, y0)
-    val = jnp.minimum(val, 255)
+    val = jnp.clip(val, 0, 255)
 
-    table = jnp.asarray(INVERSE_DB_TABLE.astype(np.float32))
-    curve = jnp.take(table, val)
+    # inverse-dB lookup as a 16x16 factored one-hot product:
+    # table[v] == A[v >> 4] * B[v & 15] to within 1 float32 ulp
+    a_tab = jnp.asarray(
+        (10.0 ** (7.0 * 16.0 * np.arange(16, dtype=np.float64) / 256.0)).astype(
+            np.float32
+        )
+    )
+    b_tab = jnp.asarray(
+        (
+            10.0 ** ((7.0 * np.arange(16, dtype=np.float64) - 7.0 * 255.0) / 256.0)
+        ).astype(np.float32)
+    )
+    h16 = jnp.arange(16, dtype=jnp.int32)
+    oh_h = ((val >> 4)[..., None] == h16).astype(jnp.float32)
+    oh_l = ((val & 15)[..., None] == h16).astype(jnp.float32)
+    curve = jnp.einsum("ghp,p->gh", oh_h, a_tab, precision=hp) * jnp.einsum(
+        "ghp,p->gh", oh_l, b_tab, precision=hp
+    )
     return jnp.where(used[:, None], curve, 0.0)
 
 
@@ -128,8 +163,10 @@ def floor0_curves(
     denom = jnp.where(denom == 0.0, 1e-9, denom)
     amp_max = (1 << amplitude_bits) - 1
     amp = amplitude.astype(jnp.float32)[:, None]
-    linear = jnp.exp(
-        0.11512925
-        * (amp * amplitude_offset / (amp_max * denom) - amplitude_offset)
+    exponent = 0.11512925 * (
+        amp * amplitude_offset / (amp_max * denom) - amplitude_offset
     )
+    # well-formed streams keep curves O(1); clamp so degenerate LSP input
+    # (near-coincident roots) saturates instead of producing inf in f32
+    linear = jnp.exp(jnp.minimum(exponent, 80.0))
     return jnp.where(used[:, None], linear, 0.0)

@@ -18,10 +18,19 @@ from .ogg.container import OggContainer
 
 
 class VorbisReader:
-    def __init__(self, source, *, clip_samples: bool = True, skip_tags: bool = False,
+    def __init__(self, source, *, clip_samples: bool | None = None,
+                 skip_tags: bool | None = None,
                  new_stream_callback: Callable[[StreamDecoder], bool] | None = None,
-                 leave_open: bool = False):
-        """``source``: file path or binary stream (seekable or forward-only)."""
+                 leave_open: bool = False, config=None):
+        """``source``: file path or binary stream (seekable or forward-only).
+
+        ``config``: a VorbisConfig supplying defaults (reference
+        VorbisConfig.Default analog); explicit keyword args override it."""
+        from .config import VorbisConfig
+
+        cfg = config or VorbisConfig.default
+        clip_samples = cfg.clip_samples if clip_samples is None else clip_samples
+        skip_tags = cfg.skip_tags if skip_tags is None else skip_tags
         if isinstance(source, (str, bytes)) and not isinstance(source, bytes):
             self._file = open(source, "rb")
             self._owns = True

@@ -1,0 +1,48 @@
+"""Profiling hooks — a new capability over the reference (SURVEY.md §5:
+the reference exposes only IStreamStats bit accounting; here decode runs
+can additionally capture an XLA device trace).
+
+    with device_trace("/tmp/vorbis-trace"):
+        decode_corpus(paths)
+
+produces a TensorBoard-compatible trace of every fused decode program,
+transfer, and Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class DecodeTimer:
+    """Wall-clock accounting of pipeline stages (host front end vs device),
+    the batch analog of the reference's StreamStats bitrate accounting."""
+
+    stages: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stages[name] = self.stages.get(name, 0.0) + (
+                time.perf_counter() - t0
+            )
+
+    def report(self) -> dict:
+        return dict(self.stages)
