@@ -77,3 +77,32 @@ def test_cli_wav_tool(tmp_path, testfile1):
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
     # IEEE float stereo... 1test is mono 44.1k; 17318 samples * 4 bytes
     assert len(data) == 44 + 17318 * 4
+
+
+def test_batch_multiplexed_streams():
+    """Multiplexed physical stream: each logical stream batch-decodes to the
+    same PCM as its standalone encode (BASELINE config #4)."""
+    import io
+
+    from vorbispizza_tpu.models.pipeline import decode_stream_batch
+    from vorbispizza_tpu.ogg.container import OggContainer
+    from vorbispizza_tpu.testing.encode import (
+        encode_vorbis,
+        make_signal,
+        multiplex_streams,
+    )
+
+    a = encode_vorbis(make_signal(1, 0.4, kind="sine", seed=3), quality=0.2,
+                      serial=111)
+    b = encode_vorbis(make_signal(2, 0.3, kind="music", seed=4), quality=0.3,
+                      serial=222)
+    muxed = multiplex_streams(a, b)
+    container = OggContainer(io.BytesIO(muxed))
+    assert container.try_init()
+    container.find_next_stream()
+    assert len(container.providers) >= 2
+    for src, provider in zip((a, b), container.providers[:2]):
+        ref = scalar_decode(src)
+        got = decode_stream_batch(provider)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= 2e-6

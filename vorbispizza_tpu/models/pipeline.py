@@ -15,9 +15,6 @@ scalar decoder (decoder.py) is the behavioral anchor it is tested against.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,10 +29,6 @@ from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, gather_assemble
 from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
 from ..setup.mode import window_geometry
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _pad_size(x: int, base: int = 64) -> int:
@@ -615,12 +608,15 @@ def dict_frozen(**kwargs) -> _FrozenMeta:
 # -- stream-level drivers -----------------------------------------------------------
 
 
-def decode_stream_batch(provider, *, clip_samples: bool = True) -> np.ndarray:
+def decode_stream_batch(
+    provider, *, clip_samples: bool = True, stats=None
+) -> np.ndarray:
     """Decode one logical stream entirely through the batch pipeline.
 
     Returns planar float32 PCM [channels, samples]. Raises BatchUnsupported
     for stream shapes the planner does not model (callers fall back to the
-    scalar StreamDecoder)."""
+    scalar StreamDecoder). Pass a StreamStats as ``stats`` to receive the
+    bit accounting (reference IStreamStats parity for the batch path)."""
     dec = StreamDecoder(provider)
     dec.initialize()
     setup = dec._setup
@@ -630,6 +626,16 @@ def decode_stream_batch(provider, *, clip_samples: bool = True) -> np.ndarray:
     pcm = np.array(synth.assemble(plan, buckets), dtype=np.float32)
     if clip_samples:
         np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
+    if stats is not None:
+        stats.sample_rate = dec.sample_rate
+        stats.header_bits += dec.stats.header_bits
+        for fr in plan.frames:
+            stats.add_packet(
+                samples=fr.info.sample_count,
+                audio_bits=8 * len(fr.packet.data),
+                waste_bits=0,
+                container_bits=0,
+            )
     return pcm
 
 

@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..setup.floor import INVERSE_DB_TABLE
-
 _BIG = np.int32(1 << 30)
 
 
