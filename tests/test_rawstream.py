@@ -1,0 +1,84 @@
+"""Hand-crafted conformance streams (floor0/LSP, residue type 0/1, extreme
+64/8192 blocksizes) vs the native libvorbis oracle and the batch pipeline.
+
+These cover the spec corners the libvorbisenc-synthesized corpus cannot
+reach (SURVEY.md §4: Xiph lsp-test*, beta vintages, out-of-spec blocksizes).
+"""
+
+import numpy as np
+import pytest
+
+from vorbispizza_tpu.models.pipeline import decode_file_batch
+from vorbispizza_tpu.reader import VorbisReader
+from vorbispizza_tpu.testing.rawstream import (
+    make_extreme_blocksize_stream,
+    make_floor0_stream,
+)
+
+
+def s16(x):
+    return np.clip(np.rint(np.asarray(x, dtype=np.float64) * 32768.0), -32768, 32767)
+
+
+def oracle_decode(data: bytes, tmp_path):
+    from vorbispizza_tpu.testing.oracle import OracleDecoder
+
+    p = tmp_path / "raw.ogg"
+    p.write_bytes(data)
+    return OracleDecoder(str(p)).read_float()
+
+
+@pytest.fixture(scope="module")
+def floor0_stream():
+    return make_floor0_stream()
+
+
+@pytest.fixture(scope="module")
+def extreme_stream():
+    return make_extreme_blocksize_stream()
+
+
+def test_floor0_stream_vs_oracle(floor0_stream, tmp_path):
+    nat = oracle_decode(floor0_stream, tmp_path)
+    r = VorbisReader(floor0_stream)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert got.shape == nat.shape
+    # float32 (libvorbis) vs float64 (ours) floor0 synthesis diverges by a
+    # few LSB where the LSP curve is steep; the reference suite budgets a
+    # small number of differing samples per file (AssetTest.cs:160-197)
+    diff = np.abs(s16(got) - s16(nat))
+    assert (diff > 2).mean() <= 1e-3 and diff[diff <= 2].size > 0
+
+
+def test_floor0_stream_batch_matches_scalar(floor0_stream, tmp_path):
+    r = VorbisReader(floor0_stream)
+    r.initialize()
+    ref = r.read_all(planar=True)
+    got = decode_file_batch(floor0_stream)
+    assert got.shape == ref.shape
+    # floor0's LSP product is computed in f32 on device (as libvorbis does)
+    # vs f64 in the scalar anchor — a few 1e-4 relative divergence is
+    # inherent; the authoritative gate is the s16 oracle band below
+    assert np.abs(got - ref).max() <= 5e-4
+    nat = oracle_decode(floor0_stream, tmp_path)
+    diff = np.abs(s16(got) - s16(nat))
+    assert (diff > 2).mean() <= 1e-3
+
+
+def test_extreme_blocksize_vs_oracle(extreme_stream, tmp_path):
+    nat = oracle_decode(extreme_stream, tmp_path)
+    r = VorbisReader(extreme_stream)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert got.shape == nat.shape
+    assert np.abs(s16(got) - s16(nat)).max() <= 2
+
+
+def test_extreme_blocksize_batch_matches_scalar(extreme_stream):
+    r = VorbisReader(extreme_stream)
+    r.initialize()
+    ref = r.read_all(planar=True)
+    got = decode_file_batch(extreme_stream)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 2e-6

@@ -47,10 +47,19 @@ def hop_class(n_prev: int, center_cur: int, left_end_cur: int, tail_prev: int):
     return HopClass(length=L, prev_len=La, cur_off=j0, cur_len=L - j0), max(B, 0)
 
 
-def _ola_kernel(src_a_ref, src_b_ref, dst_ref, flat_ref, out_ref,
-                buf_a, buf_b, acc, sem_a, sem_b, sem_o,
+def _ola_kernel(src_a_ref, src_b_ref, dst_ref, flat_ref, prev_ref, out_ref,
+                buf_a, buf_b, acc, sem_a, sem_b, sem_o, sem_i,
                 *, C, L, La, j0, Lb):
     h = pl.program_id(0)
+
+    # program 0 carries the accumulator forward (other classes' hops);
+    # TPU grid programs execute sequentially, so later hops see the copy
+    @pl.when(h == 0)
+    def _():
+        cp = pltpu.make_async_copy(prev_ref, out_ref, sem_i)
+        cp.start()
+        cp.wait()
+
     cp_a = pltpu.make_async_copy(
         flat_ref.at[:, pl.ds(src_a_ref[h], La)], buf_a, sem_a
     )
@@ -75,7 +84,8 @@ def ola_hop_class(flat, out, src_a, src_b, dst, cls: HopClass, *, interpret=Fals
     """Run one hop class: out[:, dst[h]:dst[h]+L] = prev-slice + cur-slice.
 
     flat: [C, S] windowed frames (flat layout); out: [C, total] accumulator
-    (hops write disjoint output ranges). Returns the updated out."""
+    (hop classes partition the output; each call copies the accumulator
+    forward and overwrites its own hops). Returns the updated out."""
     C = flat.shape[0]
     H = src_a.shape[0]
     L, La, j0, Lb = cls.length, cls.prev_len, cls.cur_off, cls.cur_len
@@ -84,13 +94,14 @@ def ola_hop_class(flat, out, src_a, src_b, dst, cls: HopClass, *, interpret=Fals
         grid=(H,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # flat
-            pl.BlockSpec(memory_space=pltpu.ANY),  # out (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # prev accumulator
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((C, La), jnp.float32),
             pltpu.VMEM((C, Lb), jnp.float32),
             pltpu.VMEM((C, L), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -103,7 +114,6 @@ def ola_hop_class(flat, out, src_a, src_b, dst, cls: HopClass, *, interpret=Fals
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
-        input_output_aliases={3: 0},  # 3 scalar-prefetch args precede `flat`
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(src_a, src_b, dst, flat, out)

@@ -1,0 +1,488 @@
+"""Hand-crafted Vorbis streams for conformance corners libvorbisenc never
+emits: Floor0 (LSP), residue type 0/1, and extreme blocksizes (64/8192 with
+block switching).
+
+Mirrors the role of the Xiph conformance vectors (SURVEY.md §4: lsp-test*,
+beta-encoder vintages) in an offline environment: streams are built bit-by-
+bit from the spec, paged with libogg, and validated against BOTH the native
+libvorbis oracle (testing/oracle.py) and this framework's decoders.
+
+The bit-level writers are the exact inverses of the framework's parsers
+(bitstream.py, setup/codebook.py) — Huffman codewords are assigned with the
+same canonical algorithm and written branch-first into the LSB-first stream.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..setup.codebook import assign_codewords
+from ..utils.bits import bit_reverse, ilog
+
+# ------------------------------------------------------------------ bit writer
+
+
+class BitWriter:
+    """LSB-first bit packer (inverse of bitstream.BitReader)."""
+
+    def __init__(self):
+        self._bits: int = 0
+        self._val: int = 0
+
+    def write(self, value: int, count: int) -> None:
+        assert 0 <= value < (1 << count) or count == 0
+        self._val |= (value & ((1 << count) - 1)) << self._bits
+        self._bits += count
+
+    def write_bytes(self, data: bytes) -> None:
+        for b in data:
+            self.write(b, 8)
+
+    def bytes(self) -> bytes:
+        n = (self._bits + 7) // 8
+        return self._val.to_bytes(n, "little") if n else b""
+
+
+def pack_float(mantissa: int, exponent: int, negative: bool = False) -> int:
+    """Vorbis packed float: value = mantissa * 2**(exponent - 788)
+    (spec 9.2.2; inverse of utils.bits.float32_unpack)."""
+    x = (exponent << 21) | mantissa
+    if negative:
+        x |= 0x80000000
+    return x
+
+
+# ------------------------------------------------------------------ codebooks
+
+
+@dataclass
+class BookSpec:
+    dims: int
+    lengths: list[int]
+    # lookup type 1 lattice (None => no lookup / scalar context)
+    minimum: int | None = None  # packed float
+    delta: int | None = None  # packed float
+    value_bits: int = 2
+    mults: list[int] | None = None
+    sequence_p: int = 0
+
+    @property
+    def entries(self) -> int:
+        return len(self.lengths)
+
+    def codewords(self) -> list[int]:
+        return assign_codewords(self.lengths)
+
+    def write(self, w: BitWriter) -> None:
+        w.write(0x564342, 24)  # sync
+        w.write(self.dims, 16)
+        w.write(self.entries, 24)
+        w.write(0, 1)  # not ordered
+        w.write(0, 1)  # not sparse
+        for l in self.lengths:
+            w.write(l - 1, 5)
+        if self.minimum is None:
+            w.write(0, 4)  # no lookup
+        else:
+            w.write(1, 4)  # lookup type 1
+            w.write(self.minimum, 32)
+            w.write(self.delta, 32)
+            w.write(self.value_bits - 1, 4)
+            w.write(self.sequence_p, 1)
+            for m in self.mults:
+                w.write(m, self.value_bits)
+
+    def write_symbol(self, w: BitWriter, sym: int) -> None:
+        codes = self.codewords()
+        l = self.lengths[sym]
+        w.write(bit_reverse(codes[sym], l), l)
+
+
+# ------------------------------------------------------------------ headers
+
+
+def ident_packet(channels: int, rate: int, bs0: int, bs1: int) -> bytes:
+    w = BitWriter()
+    w.write(0x01, 8)
+    w.write_bytes(b"vorbis")
+    w.write(0, 32)  # version
+    w.write(channels, 8)
+    w.write(rate, 32)
+    w.write(0, 32)  # bitrate upper
+    w.write(0, 32)  # nominal
+    w.write(0, 32)  # lower
+    w.write(int(np.log2(bs0)), 4)
+    w.write(int(np.log2(bs1)), 4)
+    w.write(1, 1)  # framing
+    return w.bytes()
+
+
+def comment_packet(vendor: bytes = b"vorbispizza_tpu rawstream") -> bytes:
+    w = BitWriter()
+    w.write(0x03, 8)
+    w.write_bytes(b"vorbis")
+    w.write(len(vendor), 32)
+    w.write_bytes(vendor)
+    w.write(0, 32)  # no comments
+    w.write(1, 1)
+    return w.bytes()
+
+
+@dataclass
+class Floor0Spec:
+    order: int
+    rate: int
+    bark_map_size: int
+    amplitude_bits: int
+    amplitude_offset: int
+    book_ids: list[int]
+
+    floor_type = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.write(0, 16)  # floor type 0
+        w.write(self.order, 8)
+        w.write(self.rate, 16)
+        w.write(self.bark_map_size, 16)
+        w.write(self.amplitude_bits, 6)
+        w.write(self.amplitude_offset, 8)
+        w.write(len(self.book_ids) - 1, 4)
+        for b in self.book_ids:
+            w.write(b, 8)
+
+
+@dataclass
+class Floor1Spec:
+    partition_classes: list[int]
+    class_dims: list[int]
+    class_subclasses: list[int]
+    class_masterbooks: list[int | None]
+    subclass_books: list[list[int | None]]
+    multiplier: int
+    rangebits: int
+    xs_extra: list[int]  # X values after the implicit [0, 1 << rangebits]
+
+    floor_type = 1
+
+    def write(self, w: BitWriter) -> None:
+        w.write(1, 16)  # floor type 1
+        w.write(len(self.partition_classes), 5)
+        for c in self.partition_classes:
+            w.write(c, 4)
+        for c in range(len(self.class_dims)):
+            w.write(self.class_dims[c] - 1, 3)
+            w.write(self.class_subclasses[c], 2)
+            if self.class_subclasses[c] > 0:
+                w.write(self.class_masterbooks[c], 8)
+            for b in self.subclass_books[c]:
+                w.write(0 if b is None else b + 1, 8)
+        w.write(self.multiplier - 1, 2)
+        w.write(self.rangebits, 4)
+        for x in self.xs_extra:
+            w.write(x, self.rangebits)
+
+
+@dataclass
+class ResidueSpec:
+    rtype: int
+    begin: int
+    end: int
+    partition_size: int
+    classifications: int
+    classbook: int
+    # books[class][pass] (None = absent); cascade bitmap derived
+    books: list[list[int | None]]
+
+    def write(self, w: BitWriter) -> None:
+        w.write(self.rtype, 16)
+        w.write(self.begin, 24)
+        w.write(self.end, 24)
+        w.write(self.partition_size - 1, 24)
+        w.write(self.classifications - 1, 6)
+        w.write(self.classbook, 8)
+        for row in self.books:
+            cascade = 0
+            for p, b in enumerate(row):
+                if b is not None:
+                    cascade |= 1 << p
+            w.write(cascade & 7, 3)
+            if cascade > 7:
+                w.write(1, 1)
+                w.write(cascade >> 3, 5)
+            else:
+                w.write(0, 1)
+        for row in self.books:
+            for b in row:
+                if b is not None:
+                    w.write(b, 8)
+
+
+@dataclass
+class MappingSpec:
+    submap_floor: list[int]
+    submap_residue: list[int]
+    coupling_steps: list[tuple[int, int]] = field(default_factory=list)
+    mux: list[int] | None = None  # per channel (defaults to all 0)
+
+    def write(self, w: BitWriter, channels: int) -> None:
+        w.write(0, 16)  # mapping type 0
+        n_sub = len(self.submap_floor)
+        if n_sub > 1:
+            w.write(1, 1)
+            w.write(n_sub - 1, 4)
+        else:
+            w.write(0, 1)
+        if self.coupling_steps:
+            w.write(1, 1)
+            w.write(len(self.coupling_steps) - 1, 8)
+            bits = ilog(channels - 1)
+            for m, a in self.coupling_steps:
+                w.write(m, bits)
+                w.write(a, bits)
+        else:
+            w.write(0, 1)
+        w.write(0, 2)  # reserved
+        if n_sub > 1:
+            for c in range(channels):
+                w.write((self.mux or [0] * channels)[c], 4)
+        for s in range(n_sub):
+            w.write(0, 8)  # time config placeholder
+            w.write(self.submap_floor[s], 8)
+            w.write(self.submap_residue[s], 8)
+
+
+@dataclass
+class ModeSpec:
+    block_flag: int
+    mapping: int = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.write(self.block_flag, 1)
+        w.write(0, 16)  # window type
+        w.write(0, 16)  # transform type
+        w.write(self.mapping, 8)
+
+
+def setup_packet(books, floors, residues, mappings, modes, channels) -> bytes:
+    w = BitWriter()
+    w.write(0x05, 8)
+    w.write_bytes(b"vorbis")
+    w.write(len(books) - 1, 8)
+    for b in books:
+        b.write(w)
+    w.write(0, 6)  # one time transform
+    w.write(0, 16)
+    w.write(len(floors) - 1, 6)
+    for f in floors:
+        f.write(w)
+    w.write(len(residues) - 1, 6)
+    for r in residues:
+        r.write(w)
+    w.write(len(mappings) - 1, 6)
+    for m in mappings:
+        m.write(w, channels)
+    w.write(len(modes) - 1, 6)
+    for m in modes:
+        m.write(w)
+    w.write(1, 1)  # framing
+    return w.bytes()
+
+
+# ------------------------------------------------------------------ paging
+
+
+def page_stream(packets: list[tuple[bytes, int]], serial: int = 777) -> bytes:
+    """Page packets (data, granulepos) into one logical Ogg stream using
+    libogg (headers flushed onto their own pages, as encoders do)."""
+    from .encode import _OggPacket, _OggPage, _OggStreamState, _load
+
+    ogg, _, _ = _load()
+    ss = _OggStreamState()
+    ogg.ogg_stream_init(C.byref(ss), serial)
+    out = bytearray()
+    og = _OggPage()
+
+    def flush_all():
+        while ogg.ogg_stream_flush(C.byref(ss), C.byref(og)):
+            out.extend(C.string_at(og.header, og.header_len))
+            out.extend(C.string_at(og.body, og.body_len))
+
+    for i, (data, granule) in enumerate(packets):
+        buf = (C.c_ubyte * len(data)).from_buffer_copy(data)
+        pkt = _OggPacket(
+            packet=C.cast(buf, C.POINTER(C.c_ubyte)),
+            bytes=len(data),
+            b_o_s=1 if i == 0 else 0,
+            e_o_s=1 if i == len(packets) - 1 else 0,
+            granulepos=granule,
+            packetno=i,
+        )
+        ogg.ogg_stream_packetin(C.byref(ss), C.byref(pkt))
+        if i == 0 or i == 2:  # ident alone; comment+setup together
+            flush_all()
+        while ogg.ogg_stream_pageout(C.byref(ss), C.byref(og)):
+            out.extend(C.string_at(og.header, og.header_len))
+            out.extend(C.string_at(og.body, og.body_len))
+    flush_all()
+    ogg.ogg_stream_clear(C.byref(ss))
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ streams
+
+
+def make_floor0_stream(n_packets: int = 40, rate: int = 8000, seed: int = 0):
+    """Mono Floor0 (LSP) + residue type 0 stream, blocksize 256."""
+    rng = np.random.default_rng(seed)
+    n = 256
+    half = n // 2
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    resbook = BookSpec(
+        dims=2, lengths=[2, 2, 2, 2],
+        minimum=pack_float(1, 788, negative=True),  # -1.0
+        delta=pack_float(1, 788),  # 1.0
+        value_bits=1, mults=[0, 1],
+    )
+    # dims=1 with strictly positive values: the decoder accumulates across
+    # vectors, so LSP roots come out ascending and well-separated (coincident
+    # roots would make the synthesis denominator blow up — in any decoder)
+    lspbook = BookSpec(
+        dims=1, lengths=[2, 2, 2, 2],
+        minimum=pack_float(1, 786),  # 0.25
+        delta=pack_float(1, 785),  # 0.125
+        value_bits=2, mults=[0, 1, 2, 3],
+    )
+    books = [classbook, resbook, lspbook]
+    floor = Floor0Spec(
+        order=4, rate=rate, bark_map_size=64,
+        amplitude_bits=6, amplitude_offset=64, book_ids=[2],
+    )
+    residue = ResidueSpec(
+        rtype=0, begin=0, end=half, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    mapping = MappingSpec(submap_floor=[0], submap_residue=[0])
+    mode = ModeSpec(block_flag=0)
+
+    headers = [
+        ident_packet(1, rate, n, n),
+        comment_packet(),
+        setup_packet(books, [floor], [residue], [mapping], [mode], channels=1),
+    ]
+
+    packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
+    for k in range(n_packets):
+        w = BitWriter()
+        w.write(0, 1)  # audio packet (mode bits: ilog(0) == 0 -> none)
+        # floor0: amplitude + book number + LSP vectors (order/dims symbols)
+        w.write(int(rng.integers(4, 12)), floor.amplitude_bits)
+        w.write(0, ilog(len(floor.book_ids)))
+        for _ in range(floor.order // lspbook.dims):
+            lspbook.write_symbol(w, int(rng.integers(0, 4)))
+        # residue type 0: interleaved classwords + 4 symbols per partition
+        n_parts = half // residue.partition_size
+        cwords = classbook.dims
+        pc = 0
+        while pc < n_parts:
+            classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(cwords):
+                if pc >= n_parts:
+                    break
+                for _s in range(residue.partition_size // resbook.dims):
+                    resbook.write_symbol(w, int(rng.integers(0, 4)))
+                pc += 1
+        packets.append((w.bytes(), half * k))
+    return page_stream(packets)
+
+
+def make_extreme_blocksize_stream(
+    n_packets: int = 30, rate: int = 44100, seed: int = 1
+):
+    """Mono floor1 + residue type 1 stream with 64/8192 block switching —
+    the full spec blocksize range in one stream."""
+    rng = np.random.default_rng(seed)
+    bs0, bs1 = 64, 8192
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    # lattice lookup needs entries == count**dims: 2**4 = 16
+    resbook = BookSpec(
+        dims=4, lengths=[4] * 16,
+        minimum=pack_float(1, 787, negative=True),  # -0.5
+        delta=pack_float(1, 787),  # 0.5
+        value_bits=1, mults=[0, 1],
+    )
+    ybook = BookSpec(dims=1, lengths=[2, 2, 2, 2])  # floor1 Y values (scalar)
+    books = [classbook, resbook, ybook]
+
+    floor = Floor1Spec(
+        partition_classes=[0],
+        class_dims=[2],
+        class_subclasses=[0],
+        class_masterbooks=[None],
+        subclass_books=[[2]],
+        multiplier=2,
+        rangebits=8,
+        xs_extra=[64, 160],
+    )
+    residue = ResidueSpec(
+        rtype=1, begin=0, end=32, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    mapping = MappingSpec(submap_floor=[0], submap_residue=[0])
+    modes = [ModeSpec(block_flag=0), ModeSpec(block_flag=1)]
+
+    headers = [
+        ident_packet(1, rate, bs0, bs1),
+        comment_packet(),
+        setup_packet(books, [floor], [residue], [mapping], modes, channels=1),
+    ]
+
+    # deterministic mode sequence exercising every transition
+    flags = [(k // 2) % 2 for k in range(n_packets)]
+    packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
+    granule = 0
+    prev_center = None
+    for k in range(n_packets):
+        bf = flags[k]
+        n = bs1 if bf else bs0
+        w = BitWriter()
+        w.write(0, 1)
+        w.write(bf, 1)  # mode index (ilog(1) == 1 bit)
+        if bf:
+            w.write(1 if k > 0 and flags[k - 1] else 0, 1)  # prev window flag
+            w.write(1 if k + 1 < n_packets and flags[k + 1] else 0, 1)  # next
+        # floor1: present flag + two 8-bit Y values + class symbols
+        w.write(1, 1)
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        for _ in range(floor.class_dims[0]):
+            ybook.write_symbol(w, int(rng.integers(0, 4)))
+        # residue type 1 over [begin, end): classwords + contiguous symbols
+        n_parts = (residue.end - residue.begin) // residue.partition_size
+        pc = 0
+        while pc < n_parts:
+            classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(classbook.dims):
+                if pc >= n_parts:
+                    break
+                for _s in range(residue.partition_size // resbook.dims):
+                    resbook.write_symbol(w, int(rng.integers(0, resbook.entries)))
+                pc += 1
+        # granule: libvorbis center-boundary accounting
+        if k > 0:
+            granule += (prev_n + n) // 4
+        prev_n = n
+        packets.append((w.bytes(), granule))
+    return page_stream(packets)
+
+
+def floor_range(floor: Floor1Spec) -> int:
+    from ..setup.floor import Floor1
+
+    return Floor1.RANGES[floor.multiplier - 1]
