@@ -1,0 +1,48 @@
+"""VorbisReader(accelerated=True): TPU-batch-backed streaming surface."""
+
+import numpy as np
+import pytest
+
+from vorbispizza_tpu import VorbisReader
+
+
+def test_accelerated_reads_match_scalar(testfiles):
+    for path in testfiles:
+        r = VorbisReader(str(path))
+        r.initialize()
+        ref = r.read_all(planar=False)
+        a = VorbisReader(str(path), accelerated=True)
+        a.initialize()
+        chunks = []
+        while True:
+            c = a.read_samples(3001)
+            if c.shape[0] == 0:
+                break
+            chunks.append(c)
+        got = np.concatenate(chunks, axis=0)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_accelerated_seek(testfile1):
+    r = VorbisReader(str(testfile1))
+    r.initialize()
+    ref = r.read_all(planar=False)
+    a = VorbisReader(str(testfile1), accelerated=True)
+    a.initialize()
+    a.seek_to(5000)
+    got = a.read_samples(256)
+    assert np.abs(got - ref[5000:5256]).max() <= 2e-6
+    assert a.sample_position == 5256
+    a.seek_to(0.05, seconds=True)
+    got = a.read_samples(128)
+    pos = int(0.05 * a.sample_rate)
+    assert np.abs(got - ref[pos : pos + 128]).max() <= 2e-6
+
+
+def test_accelerated_metadata(testfile1):
+    a = VorbisReader(str(testfile1), accelerated=True)
+    a.initialize()
+    assert a.channels == 1 and a.sample_rate == 44100
+    assert a.total_samples == 17318
+    assert a.tags is not None and a.stats is not None

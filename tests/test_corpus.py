@@ -106,3 +106,19 @@ def test_batch_multiplexed_streams():
         got = decode_stream_batch(provider)
         assert got.shape == ref.shape
         assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_decode_corpus_multi_device(small_corpus):
+    """Stream-level data parallelism: merged chunks round-robin across
+    devices produce identical PCM to the single-device path."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    ref = decode_corpus(small_corpus)
+    got = decode_corpus(
+        small_corpus, devices=devs, max_batch_bytes=1  # one chunk per stream
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

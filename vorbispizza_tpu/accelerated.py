@@ -1,0 +1,144 @@
+"""TPU-accelerated StreamDecoder: the streaming read/seek surface served
+from a batch-decoded PCM buffer.
+
+Drop-in for decoder.StreamDecoder behind VorbisReader(accelerated=True):
+headers parse eagerly (channels/tags/events available immediately); the
+first read or seek runs the whole stream through the fused device pipeline
+(models/pipeline.py) and subsequent reads slice the result — random access
+becomes free. Falls back to the scalar decoder transparently for stream
+shapes the batch planner does not model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .decoder import CLIP_MAX, StreamDecoder
+from .errors import SeekOutOfRangeError
+from .frames import BatchUnsupported, build_plan, extract_batch
+from .ops.ola import OlaUnsupported
+
+
+class AcceleratedStreamDecoder:
+    """StreamDecoder-compatible facade over the batch pipeline."""
+
+    def __init__(self, provider, *, clip_samples: bool = True,
+                 skip_tags: bool = False):
+        self._dec = StreamDecoder(
+            provider, clip_samples=clip_samples, skip_tags=skip_tags
+        )
+        self._provider = provider
+        self.clip_samples = clip_samples
+        self.has_clipped = False
+        self._pcm: np.ndarray | None = None  # planar float32, unclipped
+        self._cursor = 0
+
+    def initialize(self) -> None:
+        self._dec.initialize()
+
+    # -- decode-on-first-use ------------------------------------------------------
+
+    def _ensure_decoded(self) -> np.ndarray:
+        if self._pcm is None:
+            from .models.pipeline import BatchSynthesizer
+
+            try:
+                plan = build_plan(self._provider, self._dec._setup)
+                buckets = extract_batch(
+                    plan, self._dec._setup, self._dec.channels,
+                    ident=self._dec._ident,
+                )
+                synth = BatchSynthesizer(self._dec._setup, self._dec.channels)
+                self._pcm = np.asarray(synth.assemble(plan, buckets))
+                for fr in plan.frames:
+                    self._dec.stats.add_packet(
+                        samples=fr.info.sample_count,
+                        audio_bits=8 * len(fr.packet.data),
+                        waste_bits=0,
+                        container_bits=0,
+                    )
+            except (BatchUnsupported, OlaUnsupported):
+                # scalar fallback keeps exact streaming semantics
+                self._pcm = self._dec.read_all(planar=True)
+        return self._pcm
+
+    # -- streaming surface (reference IStreamDecoder parity) ------------------------
+
+    def read(self, count: int, planar: bool = False) -> np.ndarray:
+        pcm = self._ensure_decoded()
+        take = pcm[:, self._cursor : self._cursor + count]
+        self._cursor += take.shape[1]
+        out = np.array(take, dtype=np.float32)
+        if self.clip_samples:
+            if np.any(np.abs(out) > CLIP_MAX):
+                self.has_clipped = True
+            np.clip(out, -CLIP_MAX, CLIP_MAX, out=out)
+        return out if planar else out.T.copy()
+
+    def read_all(self, planar: bool = False) -> np.ndarray:
+        self._cursor = 0
+        pcm = self._ensure_decoded()
+        return self.read(pcm.shape[1], planar=planar)
+
+    def seek_to(self, sample_position: int) -> None:
+        total = self.total_samples
+        if sample_position < 0 or sample_position > total:
+            raise SeekOutOfRangeError(str(sample_position))
+        self._ensure_decoded()
+        self._cursor = int(sample_position)
+
+    # -- delegated metadata ----------------------------------------------------------
+
+    @property
+    def channels(self) -> int:
+        return self._dec.channels
+
+    @property
+    def sample_rate(self) -> int:
+        return self._dec.sample_rate
+
+    @property
+    def nominal_bitrate(self) -> int:
+        return self._dec.nominal_bitrate
+
+    @property
+    def upper_bitrate(self) -> int:
+        return self._dec.upper_bitrate
+
+    @property
+    def lower_bitrate(self) -> int:
+        return self._dec.lower_bitrate
+
+    @property
+    def tags(self):
+        return self._dec.tags
+
+    @property
+    def stats(self):
+        return self._dec.stats
+
+    @property
+    def blocksizes(self):
+        return self._dec.blocksizes
+
+    @property
+    def total_samples(self) -> int:
+        if self._pcm is not None:
+            return self._pcm.shape[1]
+        return self._dec.total_samples
+
+    @property
+    def total_time(self) -> float:
+        return self.total_samples / self.sample_rate
+
+    @property
+    def sample_position(self) -> int:
+        return self._cursor
+
+    @property
+    def is_end_of_stream(self) -> bool:
+        return self._pcm is not None and self._cursor >= self._pcm.shape[1]
+
+    @property
+    def _provider_serial(self):
+        return self._provider.serial

@@ -138,6 +138,7 @@ def decode_corpus(
     output: str = "f32",
     batched: bool = True,
     max_batch_bytes: int = 12 << 20,
+    devices=None,
 ):
     """Decode many Ogg Vorbis sources (paths or bytes) -> list of planar
     PCM arrays, in input order.
@@ -156,6 +157,10 @@ def decode_corpus(
     execution: interconnects tend to have both a per-call latency floor
     (punishes many small transfers) and degraded throughput on very large
     single buffers, so mid-size batches win.
+
+    ``devices``: a list of jax devices to round-robin merged executions
+    over (stream-level data parallelism across chips; each chunk runs
+    whole on one chip — no cross-chip dependencies exist between streams).
     """
     fmt = "s16" if output == "s16" else "f32"
 
@@ -205,13 +210,18 @@ def decode_corpus(
             chunks[-1].append(i)
             acc += nbytes
         pending = []
-        for chunk in chunks:
+        for ci, chunk in enumerate(chunks):
             plan_m, buckets_m, pcm_lengths = merge_streams(
                 [(fronts[i][2], fronts[i][3]) for i in chunk]
             )
+            dev = devices[ci % len(devices)] if devices else None
             # dispatch is async: all chunks are in flight before any d2h
             pending.append(
-                (chunk, pcm_lengths, synth.assemble(plan_m, buckets_m, output=fmt))
+                (
+                    chunk,
+                    pcm_lengths,
+                    synth.assemble(plan_m, buckets_m, output=fmt, device=dev),
+                )
             )
         for chunk, pcm_lengths, merged_out in pending:
             if output == "device":

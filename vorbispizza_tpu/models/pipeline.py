@@ -422,6 +422,7 @@ class BatchSynthesizer:
         plan: FramePlan,
         buckets: list[BucketBatch],
         output: str = "f32",
+        device=None,
     ):
         """Host half of a decode: pack every tensor into 3 flat transfer
         buffers, start the (async) host->device copies, and return
@@ -556,7 +557,7 @@ class BatchSynthesizer:
             F_tab,
             output,
         )
-        device_args = tuple(jax.device_put(x) for x in host_args)
+        device_args = tuple(jax.device_put(x, device) for x in host_args)
         return sig, device_args, total, True
 
     def run(self, sig, device_args, total, uniform) -> jax.Array:
@@ -571,6 +572,7 @@ class BatchSynthesizer:
         plan: FramePlan,
         buckets: list[BucketBatch],
         output: str = "f32",
+        device=None,
     ) -> jax.Array:
         """Synthesize all buckets and gather-assemble the PCM -> [C, pcm],
         as ONE fused XLA program (single dispatch; overlap-add is two gathers
@@ -585,7 +587,7 @@ class BatchSynthesizer:
         if not buckets:
             dt = jnp.int16 if output == "s16" else jnp.float32
             return jnp.zeros((self.channels, 0), dtype=dt)
-        return self.run(*self.prepare(plan, buckets, output))
+        return self.run(*self.prepare(plan, buckets, output, device=device))
 
 
 class _FrozenMeta(tuple):
