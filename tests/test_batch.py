@@ -102,3 +102,26 @@ def test_overlap_add_shifted_sum():
     expect[0, 0:6] += frames[0, 0, 2:]  # rows at -2..-1 dropped
     expect[0, 2:10] += frames[1, 0]
     assert np.array_equal(out, expect)
+
+
+def test_chunked_long_stream_decode_identical():
+    """split_plan chunking (bounded-memory long-stream decode) is per-sample
+    identical to the unsplit decode, across block-switch boundaries."""
+    import io
+
+    from vorbispizza_tpu.models.pipeline import decode_stream_batch
+    from vorbispizza_tpu.ogg.container import OggContainer
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(make_signal(2, 1.2, kind="music", seed=11), quality=0.4)
+
+    def decode(max_frames):
+        c = OggContainer(io.BytesIO(data))
+        c.try_init()
+        return decode_stream_batch(c.providers[0], max_frames=max_frames)
+
+    ref = decode(None)
+    for mf in (7, 16, 50):
+        got = decode(mf)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)

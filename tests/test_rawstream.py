@@ -155,3 +155,30 @@ def test_truncated_setup_rejected():
     with pytest.raises(InvalidDataError):
         r.initialize()
         r.read_all()
+
+
+def test_multisubmap_stream():
+    """Two submaps (per-channel floor configs + residues): scalar matches
+    the oracle and the batch pipeline's multi-floor-group path matches the
+    scalar anchor."""
+    from vorbispizza_tpu.testing.rawstream import make_multisubmap_stream
+
+    data = make_multisubmap_stream()
+    r = VorbisReader(data)
+    r.initialize()
+    ref = r.read_all(planar=True)
+    got = decode_file_batch(data)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 2e-6
+
+
+def test_multisubmap_vs_oracle(tmp_path):
+    from vorbispizza_tpu.testing.rawstream import make_multisubmap_stream
+
+    data = make_multisubmap_stream()
+    nat = oracle_decode(data, tmp_path)
+    r = VorbisReader(data)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert got.shape == nat.shape
+    assert np.abs(s16(got) - s16(nat)).max() <= 2

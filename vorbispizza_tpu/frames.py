@@ -228,6 +228,107 @@ def _cut(
     return emitted_end
 
 
+def split_plan(plan: FramePlan, max_frames: int) -> list[FramePlan]:
+    """Split a plan into chunks of at most ``max_frames`` frames for
+    bounded-memory decode of long streams.
+
+    Chains split at frame boundaries with the boundary frame DUPLICATED:
+    the earlier chunk re-flags it ``final`` (right half masked) and the
+    later chunk ``prime`` (left half masked), which is exactly the lapping
+    split — per-sample output is bit-identical to the unsplit decode.
+
+    Plans with granule cuts are returned unsplit (rare; trimmed streams)."""
+    if len(plan.frames) <= max_frames:
+        return [plan]
+    max_frames = max(max_frames, 2)
+    for chain, segs in zip(plan.chains, plan.chain_segments):
+        if len(chain) >= 2:
+            first = plan.frames[chain[0]]
+            last = plan.frames[chain[-1]]
+            span = (
+                first.offset + first.info.n // 2,
+                last.offset + last.info.n // 2,
+            )
+            if segs != [span]:
+                return [plan]
+        elif segs:
+            return [plan]
+
+    plans: list[FramePlan] = []
+    cur_frames: list[FrameEntry] = []
+    cur_chains: list[list[int]] = []
+    cur_segs: list[list[tuple[int, int]]] = []
+
+    def flush():
+        if not cur_frames:
+            return
+        buckets: dict[BucketKey, list[int]] = {}
+        for i, fr in enumerate(cur_frames):
+            key = BucketKey(fr.mode_idx, fr.info.prev_flag, fr.info.next_flag)
+            buckets.setdefault(key, []).append(i)
+        total = max(
+            (fr.offset + fr.info.n for fr in cur_frames), default=1
+        )
+        plans.append(
+            FramePlan(
+                frames=list(cur_frames),
+                total_len=total,
+                chains=list(cur_chains),
+                chain_segments=list(cur_segs),
+                buckets=buckets,
+            )
+        )
+        cur_frames.clear()
+        cur_chains.clear()
+        cur_segs.clear()
+
+    def add_subchain(idxs, prime_first: bool, final_last: bool):
+        base = len(cur_frames)
+        sub: list[int] = []
+        for j, fi in enumerate(idxs):
+            fr = plan.frames[fi]
+            cur_frames.append(
+                FrameEntry(
+                    packet=fr.packet,
+                    mode_idx=fr.mode_idx,
+                    info=fr.info,
+                    offset=fr.offset,
+                    prime=fr.prime or (prime_first and j == 0),
+                    final=fr.final or (final_last and j == len(idxs) - 1),
+                )
+            )
+            sub.append(base + j)
+        cur_chains.append(sub)
+        if len(idxs) >= 2:
+            f0 = cur_frames[sub[0]]
+            f1 = cur_frames[sub[-1]]
+            cur_segs.append(
+                [(f0.offset + f0.info.n // 2, f1.offset + f1.info.n // 2)]
+            )
+        else:
+            cur_segs.append([])
+
+    for chain in plan.chains:
+        i = 0
+        while i < len(chain):
+            room = max_frames - len(cur_frames)
+            if room < 2:
+                flush()
+                continue
+            take = min(len(chain) - i, room)
+            end = i + take
+            add_subchain(
+                chain[i:end],
+                prime_first=(i > 0),
+                final_last=(end < len(chain)),
+            )
+            if end >= len(chain):
+                break
+            i = end - 1  # boundary frame re-enters the next chunk as priming
+    flush()
+    return plans
+
+
 @dataclass
 class FloorGroup:
     """Channels of one bucket sharing a floor config."""

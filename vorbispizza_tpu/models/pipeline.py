@@ -611,21 +611,32 @@ def dict_frozen(**kwargs) -> _FrozenMeta:
 
 
 def decode_stream_batch(
-    provider, *, clip_samples: bool = True, stats=None
+    provider, *, clip_samples: bool = True, stats=None,
+    max_frames: int | None = None,
 ) -> np.ndarray:
     """Decode one logical stream entirely through the batch pipeline.
 
     Returns planar float32 PCM [channels, samples]. Raises BatchUnsupported
     for stream shapes the planner does not model (callers fall back to the
     scalar StreamDecoder). Pass a StreamStats as ``stats`` to receive the
-    bit accounting (reference IStreamStats parity for the batch path)."""
+    bit accounting (reference IStreamStats parity for the batch path).
+
+    ``max_frames`` bounds memory for very long streams: the plan splits
+    into chunks that decode sequentially (frames.split_plan; per-sample
+    bit-identical to the unsplit decode)."""
+    from ..frames import split_plan
+
     dec = StreamDecoder(provider)
     dec.initialize()
     setup = dec._setup
     plan = build_plan(provider, setup)
-    buckets = extract_batch(plan, setup, dec.channels, ident=dec._ident)
+    plans = split_plan(plan, max_frames) if max_frames else [plan]
     synth = BatchSynthesizer(setup, dec.channels)
-    pcm = np.array(synth.assemble(plan, buckets), dtype=np.float32)
+    parts = []
+    for p in plans:
+        buckets = extract_batch(p, setup, dec.channels, ident=dec._ident)
+        parts.append(np.array(synth.assemble(p, buckets), dtype=np.float32))
+    pcm = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
     if clip_samples:
         np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
     if stats is not None:

@@ -486,3 +486,98 @@ def floor_range(floor: Floor1Spec) -> int:
     from ..setup.floor import Floor1
 
     return Floor1.RANGES[floor.multiplier - 1]
+
+
+def make_multisubmap_stream(n_packets: int = 24, rate: int = 22050, seed: int = 2):
+    """Stereo stream with TWO submaps — each channel gets its own floor1
+    config and residue — exercising the per-floor-config channel grouping of
+    the batch pipeline (a spec-legal layout no mainstream encoder emits)."""
+    rng = np.random.default_rng(seed)
+    n = 512
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    resbook_a = BookSpec(
+        dims=2, lengths=[2, 2, 2, 2],
+        minimum=pack_float(1, 788, negative=True), delta=pack_float(1, 788),
+        value_bits=1, mults=[0, 1],
+    )
+    resbook_b = BookSpec(
+        dims=4, lengths=[4] * 16,
+        minimum=pack_float(1, 787, negative=True), delta=pack_float(1, 787),
+        value_bits=1, mults=[0, 1],
+    )
+    ybook = BookSpec(dims=1, lengths=[2, 2, 2, 2])
+    books = [classbook, resbook_a, resbook_b, ybook]
+
+    floor_a = Floor1Spec(
+        partition_classes=[0], class_dims=[2], class_subclasses=[0],
+        class_masterbooks=[None], subclass_books=[[3]],
+        multiplier=1, rangebits=7, xs_extra=[32, 96],
+    )
+    floor_b = Floor1Spec(
+        partition_classes=[0, 0], class_dims=[1], class_subclasses=[0],
+        class_masterbooks=[None], subclass_books=[[3]],
+        multiplier=3, rangebits=8, xs_extra=[128, 64],
+    )
+    residue_a = ResidueSpec(
+        rtype=1, begin=0, end=64, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    residue_b = ResidueSpec(
+        rtype=2, begin=0, end=128, partition_size=16,
+        classifications=2, classbook=0,
+        books=[[2] + [None] * 7, [2] + [None] * 7],
+    )
+    mapping = MappingSpec(
+        submap_floor=[0, 1], submap_residue=[0, 1], mux=[0, 1]
+    )
+    mode = ModeSpec(block_flag=0)
+
+    headers = [
+        ident_packet(2, rate, n, n),
+        comment_packet(),
+        setup_packet(
+            books, [floor_a, floor_b], [residue_a, residue_b], [mapping],
+            [mode], channels=2,
+        ),
+    ]
+
+    def write_floor1(w, floor, ybook):
+        w.write(1, 1)
+        rng_bits = ilog(floor_range(floor) - 1)
+        w.write(int(rng.integers(0, floor_range(floor) // 2)), rng_bits)
+        w.write(int(rng.integers(0, floor_range(floor) // 2)), rng_bits)
+        for cls in floor.partition_classes:
+            for _ in range(floor.class_dims[cls]):
+                ybook.write_symbol(w, int(rng.integers(0, ybook.entries)))
+
+    def write_residue(w, residue, book, n_ch, fmt2):
+        size = (residue.end - residue.begin) * (n_ch if fmt2 else 1)
+        vecs = 1 if fmt2 else n_ch
+        n_parts = size // residue.partition_size if fmt2 else (
+            (residue.end - residue.begin) // residue.partition_size
+        )
+        pc = 0
+        while pc < n_parts:
+            for _j in range(vecs):
+                classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(classbook.dims):
+                if pc >= n_parts:
+                    break
+                for _j in range(vecs):
+                    for _s in range(residue.partition_size // book.dims):
+                        book.write_symbol(w, int(rng.integers(0, book.entries)))
+                pc += 1
+
+    packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
+    for k in range(n_packets):
+        w = BitWriter()
+        w.write(0, 1)
+        write_floor1(w, floor_a, ybook)  # channel 0 (submap 0)
+        write_floor1(w, floor_b, ybook)  # channel 1 (submap 1)
+        write_residue(w, residue_a, resbook_a, 1, fmt2=False)
+        # residue type 2 over one channel == type 1 over its samples
+        write_residue(w, residue_b, resbook_b, 1, fmt2=True)
+        packets.append((w.bytes(), (n // 2) * k))
+    return page_stream(packets)
