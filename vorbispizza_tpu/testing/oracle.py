@@ -112,6 +112,29 @@ class OracleDecoder:
                 break
         return [(idx, np.concatenate(blocks, axis=1)) for idx, blocks in segments]
 
+    def read_float_n(self, n: int) -> np.ndarray:
+        """Read up to ``n`` samples from the current position -> planar
+        float32 [ch, m] (m <= n; stops early at stream boundaries)."""
+        lib = self._lib
+        pcm = C.POINTER(C.POINTER(C.c_float))()
+        sec = C.c_int(0)
+        blocks: list[np.ndarray] = []
+        got = 0
+        while got < n:
+            want = min(4096, n - got)
+            r = lib.ov_read_float(C.byref(self._vf), C.byref(pcm), want, C.byref(sec))
+            if r <= 0:
+                break
+            ch = self.channels
+            block = np.empty((ch, r), dtype=np.float32)
+            for c in range(ch):
+                block[c] = np.ctypeslib.as_array(pcm[c], shape=(r,))
+            blocks.append(block)
+            got += r
+        if not blocks:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        return np.concatenate(blocks, axis=1)
+
     def read_float(self) -> np.ndarray:
         """Whole file as one planar float32 array (first logical stream)."""
         segs = self.read_all_float()
