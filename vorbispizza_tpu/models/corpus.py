@@ -24,12 +24,55 @@ from ..ogg.container import OggContainer
 from .pipeline import BatchSynthesizer
 
 
+class _ListProvider:
+    """Packet-provider shim over a pre-assembled packet list (native scan)."""
+
+    def __init__(self, packets):
+        self._packets = packets
+        self._i = 0
+
+    def get_next_packet(self):
+        if self._i >= len(self._packets):
+            return None
+        p = self._packets[self._i]
+        self._i += 1
+        return p
+
+
+def _front_end_native(data: bytes):
+    """All-native front end: C++ Ogg scan + C++ entropy decode. Returns None
+    when the native path cannot model the stream (Python fallback)."""
+    from .. import native
+    from ..setup.header import parse_comments, parse_ident, parse_setup_cached
+
+    if not native.available():
+        return None
+    res = native.scan_ogg(data)
+    if res is None or len(res[0]) < 3:
+        return None
+    packets, _serial = res
+    try:
+        ident = parse_ident(packets[0].data)
+        parse_comments(packets[1].data)
+        setup = parse_setup_cached(packets[2].data, ident)
+    except Exception:
+        return None  # headers the scanner mis-modeled: use the full path
+    provider = _ListProvider(packets[3:])
+    plan = build_plan(provider, setup)
+    buckets = extract_batch(plan, setup, ident.channels, ident=ident)
+    return setup, ident.channels, plan, buckets
+
+
 def _front_end(source):
     if isinstance(source, (bytes, bytearray)):
-        f = io.BytesIO(source)
+        data = bytes(source)
     else:
-        f = open(source, "rb")
-    container = OggContainer(f)
+        with open(source, "rb") as f:
+            data = f.read()
+    fast = _front_end_native(data)
+    if fast is not None:
+        return fast
+    container = OggContainer(io.BytesIO(data))
     if not container.try_init():
         raise ValueError("no logical stream found")
     provider = container.providers[0]

@@ -62,6 +62,13 @@ def _load():
         except OSError as e:
             _build_error = str(e)
             return None
+        lib.vp_scan_ogg.restype = C.c_int64
+        lib.vp_scan_ogg.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int64,
+            C.POINTER(C.c_uint8), C.c_int64,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint8),
+            C.c_int64, C.POINTER(C.c_int64),
+        ]
         lib.vp_decode_packets.restype = C.c_int
         lib.vp_decode_packets.argtypes = [
             C.c_char_p, C.c_int64,            # blob
@@ -90,6 +97,54 @@ def build_error() -> str | None:
 
 def _ptr(a, ctype):
     return a.ctypes.data_as(C.POINTER(ctype))
+
+
+def scan_ogg(data: bytes, serial: int = -1):
+    """Scan one logical stream's packets out of an Ogg byte buffer
+    (frontend.cpp vp_scan_ogg — mirrors ogg/page.py + ogg/logical.py).
+
+    Returns (packets, serial) where packets is a list of
+    ogg.logical.Packet, or None when the native scanner cannot model the
+    stream (caller falls back to the Python layer)."""
+    from ..ogg.logical import Packet
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    blob = np.empty(max(n, 1), dtype=np.uint8)
+    max_pkts = max(n // 64, 64)
+    out_serial = C.c_int64(-1)
+    while True:
+        offs = np.zeros(max_pkts + 1, dtype=np.int64)
+        granules = np.zeros(max_pkts, dtype=np.int64)
+        flags = np.zeros(max_pkts, dtype=np.uint8)
+        rc = lib.vp_scan_ogg(
+            data, n, serial,
+            _ptr(blob, C.c_uint8), blob.nbytes,
+            _ptr(offs, C.c_int64), _ptr(granules, C.c_int64),
+            _ptr(flags, C.c_uint8),
+            max_pkts, C.byref(out_serial),
+        )
+        if rc == -2 and max_pkts < n + 2:  # packet-table capacity: grow
+            max_pkts = min(max_pkts * 4, n + 2)
+            continue
+        break
+    if rc < 0:
+        return None
+    raw = blob.tobytes()
+    packets = [
+        Packet(
+            data=raw[offs[i] : offs[i + 1]],
+            granule=int(granules[i]),
+            is_resync=bool(flags[i] & 1),
+            is_end_of_stream=bool(flags[i] & 2),
+            page_index=0,
+            packet_index=i,
+        )
+        for i in range(rc)
+    ]
+    return packets, int(out_serial.value)
 
 
 def decode_packets(

@@ -664,3 +664,253 @@ int vp_packet_blocksizes(const uint8_t* blob, int64_t blob_len,
 }
 
 }  // extern "C"
+
+// ===================================================================== ogg scan
+//
+// Sequential Ogg physical-layer scan + packet assembly for ONE logical
+// stream, mirroring ogg/page.py (capture scan, CRC verify, resync) and
+// ogg/logical.py (sequence-gap resync, packet assembly across pages,
+// granule/EOS attribution). Whole-buffer input; used by the batch front end
+// (the streaming/seeking paths keep the Python implementation).
+
+namespace {
+
+struct OggCrc {
+    uint32_t table[256];
+    OggCrc() {
+        for (uint32_t i = 0; i < 256; i++) {
+            uint32_t r = i << 24;
+            for (int j = 0; j < 8; j++)
+                r = (r << 1) ^ ((r & 0x80000000u) ? 0x04c11db7u : 0u);
+            table[i] = r;
+        }
+    }
+    uint32_t compute(const uint8_t* d, int64_t n, const uint8_t* zero_at,
+                     int64_t zero_len) const {
+        uint32_t crc = 0;
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t b = d[i];
+            if (zero_at && d + i >= zero_at && d + i < zero_at + zero_len)
+                b = 0;
+            crc = (crc << 8) ^ table[((crc >> 24) ^ b) & 0xff];
+        }
+        return crc;
+    }
+};
+
+struct OggPageView {
+    int64_t offset;
+    uint8_t flags;
+    int64_t granule;
+    uint32_t serial;
+    uint32_t sequence;
+    const uint8_t* payload;
+    int64_t body_len;
+    int64_t page_size;
+    // packet slices
+    int64_t starts[256];
+    int64_t lens[256];
+    int n_slices;
+    bool continues_packet;
+    bool last_incomplete;
+    bool is_resync;
+};
+
+inline uint32_t rd32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+inline int64_t rd64(const uint8_t* p) {
+    int64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+// parse+verify a candidate page at data[off]; returns page_size or -1
+int64_t try_page(const OggCrc& crc, const uint8_t* data, int64_t len,
+                 int64_t off, OggPageView& pg) {
+    if (len - off < 27) return -1;
+    const uint8_t* p = data + off;
+    if (std::memcmp(p, "OggS", 4) != 0 || p[4] != 0) return -1;
+    int nsegs = p[26];
+    int64_t hdr_len = 27 + nsegs;
+    if (len - off < hdr_len) return -1;
+    int64_t body = 0;
+    for (int i = 0; i < nsegs; i++) body += p[27 + i];
+    int64_t total = hdr_len + body;
+    if (len - off < total) return -1;
+    uint32_t want = rd32(p + 22);
+    if (crc.compute(p, total, p + 22, 4) != want) return -1;
+
+    pg.offset = off;
+    pg.flags = p[5];
+    pg.granule = rd64(p + 6);
+    pg.serial = rd32(p + 14);
+    pg.sequence = rd32(p + 18);
+    pg.payload = p + hdr_len;
+    pg.body_len = body;
+    pg.page_size = total;
+    pg.n_slices = 0;
+    int64_t pos = 0, cur = 0;
+    bool last255 = false;
+    for (int i = 0; i < nsegs; i++) {
+        cur += p[27 + i];
+        last255 = p[27 + i] == 255;
+        if (!last255) {
+            pg.starts[pg.n_slices] = pos;
+            pg.lens[pg.n_slices] = cur;
+            pg.n_slices++;
+            pos += cur;
+            cur = 0;
+        }
+    }
+    pg.last_incomplete = false;
+    if (cur > 0 || (nsegs > 0 && last255)) {
+        pg.starts[pg.n_slices] = pos;
+        pg.lens[pg.n_slices] = cur;
+        pg.n_slices++;
+        pg.last_incomplete = true;
+    }
+    pg.continues_packet = (pg.flags & 0x01) != 0;
+    return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan one logical stream's packets out of an Ogg byte buffer.
+//
+//   serial_wanted: -1 => first BOS serial encountered
+//   outputs: packet payload bytes appended into pkt_blob (caller-allocated,
+//   len bytes always suffices); pkt_off[n+1] prefix offsets; per packet
+//   granule (i64, -1 = none) and flags (bit0 resync, bit1 eos).
+//
+// Returns the packet count, or a negative error (-2 buffer too small,
+// -3 granule regression — caller falls back to the Python layer which
+// raises the spec-mandated error).
+int64_t vp_scan_ogg(const uint8_t* data, int64_t len, int64_t serial_wanted,
+                    uint8_t* pkt_blob, int64_t blob_cap, int64_t* pkt_off,
+                    int64_t* pkt_granule, uint8_t* pkt_flags,
+                    int64_t max_pkts, int64_t* out_serial) {
+    OggCrc crc;
+    // pass 1: collect this serial's pages (views into `data`)
+    std::vector<OggPageView> pages;
+    int64_t scan = 0;
+    bool pending_resync = false;
+    bool have_serial = serial_wanted >= 0;
+    uint32_t serial = (uint32_t)serial_wanted;
+    bool saw_eos = false;
+    int64_t max_seq = -1;
+    int64_t max_granule = -1;
+    while (scan < len && !saw_eos) {
+        // find capture pattern
+        const void* hit = std::memchr(data + scan, 'O', (size_t)(len - scan));
+        if (!hit) break;
+        int64_t off = (const uint8_t*)hit - data;
+        if (len - off < 4) break;
+        if (std::memcmp(data + off, "OggS", 4) != 0) {
+            if (off != scan) pending_resync = true;
+            scan = off + 1;
+            pending_resync = true;
+            continue;
+        }
+        if (off != scan) pending_resync = true;
+        OggPageView pg;
+        int64_t size = try_page(crc, data, len, off, pg);
+        if (size < 0) {
+            scan = off + 4;  // skip the failed capture pattern
+            pending_resync = true;
+            continue;
+        }
+        scan = off + size;
+        pg.is_resync = pending_resync;
+        pending_resync = false;
+        if (!have_serial) {
+            if (!(pg.flags & 0x02)) continue;  // want a BOS page
+            serial = pg.serial;
+            have_serial = true;
+        }
+        if (pg.serial != serial) continue;
+        // sequence-gap resync + granule monotonicity (ogg/logical.py:88-99)
+        if (max_seq >= 0 && (int64_t)pg.sequence != max_seq + 1)
+            pg.is_resync = true;
+        max_seq = (int64_t)pg.sequence;
+        if (pg.granule >= 0) {
+            if (pg.granule < max_granule && !pg.is_resync) return -3;
+            if (pg.granule > max_granule) max_granule = pg.granule;
+        }
+        if (pg.flags & 0x04) saw_eos = true;
+        pages.push_back(pg);
+    }
+    if (out_serial) *out_serial = have_serial ? (int64_t)serial : -1;
+
+    // pass 2: assemble packets (ogg/logical.py PacketProvider semantics)
+    int64_t n_pkts = 0;
+    int64_t blob_pos = 0;
+    pkt_off[0] = 0;
+    bool carry_resync = false;
+    size_t pi = 0;
+    int packet_cursor = 0;
+    while (pi < pages.size()) {
+        const OggPageView& meta = pages[pi];
+        if (meta.is_resync && packet_cursor == 0) carry_resync = true;
+        int n_starts = meta.n_slices - ((meta.continues_packet && meta.n_slices) ? 1 : 0);
+        if (packet_cursor >= n_starts) {
+            pi++;
+            packet_cursor = 0;
+            continue;
+        }
+        int slice_idx = packet_cursor + (meta.continues_packet ? 1 : 0);
+        if (slice_idx >= meta.n_slices) break;  // truncated at end of stream
+        // follow continuations
+        size_t end_pi = pi;
+        int end_slice = slice_idx;
+        int64_t total_len = pages[end_pi].lens[end_slice];
+        bool lost = false, truncated = false;
+        while (end_slice == pages[end_pi].n_slices - 1 &&
+               pages[end_pi].last_incomplete) {
+            if (end_pi + 1 >= pages.size()) { truncated = true; break; }
+            const OggPageView& nxt = pages[end_pi + 1];
+            if (!nxt.continues_packet || nxt.is_resync) { lost = true; break; }
+            end_pi++;
+            end_slice = 0;
+            total_len += nxt.lens[0];
+        }
+        packet_cursor++;
+        if (truncated) break;
+        if (lost) { carry_resync = true; continue; }
+        if (n_pkts >= max_pkts || blob_pos + total_len > blob_cap) return -2;
+        // copy the parts
+        {
+            const OggPageView& first = pages[pi];
+            std::memcpy(pkt_blob + blob_pos, first.payload + first.starts[slice_idx],
+                        (size_t)first.lens[slice_idx]);
+            int64_t w = first.lens[slice_idx];
+            for (size_t q = pi + 1; q <= end_pi; q++) {
+                std::memcpy(pkt_blob + blob_pos + w,
+                            pages[q].payload + pages[q].starts[0],
+                            (size_t)pages[q].lens[0]);
+                w += pages[q].lens[0];
+            }
+            blob_pos += total_len;
+        }
+        const OggPageView& endp = pages[end_pi];
+        int last_completing = endp.n_slices - (endp.last_incomplete ? 2 : 1);
+        bool is_last_completed = end_slice == last_completing;
+        int64_t granule =
+            (is_last_completed && endp.granule >= 0) ? endp.granule : -1;
+        uint8_t flags = 0;
+        if (carry_resync) flags |= 1;
+        if ((endp.flags & 0x04) && is_last_completed) flags |= 2;
+        carry_resync = false;
+        pkt_granule[n_pkts] = granule;
+        pkt_flags[n_pkts] = flags;
+        n_pkts++;
+        pkt_off[n_pkts] = blob_pos;
+    }
+    return n_pkts;
+}
+
+}  // extern "C"
