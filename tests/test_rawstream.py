@@ -182,3 +182,72 @@ def test_multisubmap_vs_oracle(tmp_path):
     got = r.read_all(planar=True)
     assert got.shape == nat.shape
     assert np.abs(s16(got) - s16(nat)).max() <= 2
+
+
+def test_floor1_posts_beyond_range_no_crash():
+    """Floor1 subclass book values larger than the floor range fold to
+    negative posts in the spec arithmetic; the decoder must clamp and keep
+    decoding (ensure_okay-style: no crash, finite PCM), in both paths."""
+    from vorbispizza_tpu.testing.rawstream import (
+        BookSpec, Floor1Spec, MappingSpec, ModeSpec, ResidueSpec,
+        comment_packet, ident_packet, page_stream, setup_packet, pack_float,
+        BitWriter,
+    )
+    import numpy as np
+    from vorbispizza_tpu.utils.bits import ilog
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    resbook = BookSpec(
+        dims=2, lengths=[2, 2, 2, 2],
+        minimum=pack_float(1, 788, negative=True), delta=pack_float(1, 788),
+        value_bits=1, mults=[0, 1],
+    )
+    bigbook = BookSpec(dims=1, lengths=[9] * 512)  # values up to 511 > range
+    books = [classbook, resbook, bigbook]
+    floor = Floor1Spec(
+        partition_classes=[0], class_dims=[2], class_subclasses=[0],
+        class_masterbooks=[None], subclass_books=[[2]],
+        multiplier=1, rangebits=7, xs_extra=[32, 96],
+    )
+    residue = ResidueSpec(
+        rtype=1, begin=0, end=64, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    headers = [
+        ident_packet(1, 8000, 256, 256),
+        comment_packet(),
+        setup_packet(books, [floor], [residue],
+                     [MappingSpec(submap_floor=[0], submap_residue=[0])],
+                     [ModeSpec(0)], channels=1),
+    ]
+    rng = np.random.default_rng(9)
+    packets = [(h, 0) for h in headers]
+    for k in range(8):
+        w = BitWriter()
+        w.write(0, 1)
+        w.write(1, 1)  # floor present
+        w.write(int(rng.integers(0, 256)), 8)
+        w.write(int(rng.integers(0, 256)), 8)
+        for _ in range(2):
+            bigbook.write_symbol(w, int(rng.integers(300, 512)))  # oversized
+        n_parts = 64 // 8
+        pc = 0
+        while pc < n_parts:
+            classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(2):
+                if pc >= n_parts:
+                    break
+                for _s in range(4):
+                    resbook.write_symbol(w, int(rng.integers(0, 4)))
+                pc += 1
+        packets.append((w.bytes(), 128 * k))
+    data = page_stream(packets)
+
+    r = VorbisReader(data)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert np.isfinite(got).all() and got.shape[1] > 0
+    batch = decode_file_batch(data)
+    assert batch.shape == got.shape
+    assert np.abs(batch - got).max() <= 2e-6

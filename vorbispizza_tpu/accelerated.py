@@ -42,6 +42,13 @@ class AcceleratedStreamDecoder:
         if self._pcm is None:
             from .models.pipeline import BatchSynthesizer
 
+            # build_plan consumes the provider's packet cursor; remember it
+            # so the scalar fallback can replay the stream from here
+            cursor = (
+                self._provider._page_cursor,
+                self._provider._packet_cursor,
+                self._provider._pending_resync,
+            )
             try:
                 plan = build_plan(self._provider, self._dec._setup)
                 buckets = extract_batch(
@@ -59,6 +66,11 @@ class AcceleratedStreamDecoder:
                     )
             except (BatchUnsupported, OlaUnsupported):
                 # scalar fallback keeps exact streaming semantics
+                (
+                    self._provider._page_cursor,
+                    self._provider._packet_cursor,
+                    self._provider._pending_resync,
+                ) = cursor
                 self._pcm = self._dec.read_all(planar=True)
         return self._pcm
 
@@ -76,9 +88,10 @@ class AcceleratedStreamDecoder:
         return out if planar else out.T.copy()
 
     def read_all(self, planar: bool = False) -> np.ndarray:
-        self._cursor = 0
+        # StreamDecoder.read_all semantics: the REMAINDER from the current
+        # position, not a rewind
         pcm = self._ensure_decoded()
-        return self.read(pcm.shape[1], planar=planar)
+        return self.read(pcm.shape[1] - self._cursor, planar=planar)
 
     def seek_to(self, sample_position: int) -> None:
         total = self.total_samples

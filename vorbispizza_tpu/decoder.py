@@ -222,10 +222,7 @@ class StreamDecoder:
                 self._prev_tail = None
                 self._position = None
                 self._unanchored = 0
-            try:
-                result = self._decode_packet(packet)
-            except InvalidDataError:
-                raise
+            result = self._decode_packet(packet)
             if result is None:
                 continue  # undecodable packet: skip (reference keeps looping)
             time, info = result

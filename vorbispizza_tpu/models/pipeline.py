@@ -426,7 +426,7 @@ class BatchSynthesizer:
     ):
         """Host half of a decode: pack every tensor into 3 flat transfer
         buffers, start the (async) host->device copies, and return
-        ``(sig, device_args, total, uniform)`` for run().
+        ``(sig, device_args, total)`` for run().
 
         Safe to call from worker threads — transfers overlap other streams'
         device execution."""
@@ -558,12 +558,12 @@ class BatchSynthesizer:
             output,
         )
         device_args = tuple(jax.device_put(x, device) for x in host_args)
-        return sig, device_args, total, True
+        return sig, device_args, total
 
-    def run(self, sig, device_args, total, uniform) -> jax.Array:
+    def run(self, sig, device_args, total) -> jax.Array:
         fn = self._fused_fn(sig)
         out = fn(*device_args)
-        # output is padded to the quantized out_len in both position modes;
+        # output is padded to the quantized out_len in every position mode;
         # the kept samples occupy the first `total` columns in order
         return out[:, :total]
 

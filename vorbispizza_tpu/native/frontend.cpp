@@ -363,7 +363,12 @@ bool floor1_unpack(const Floor1V& f, const Setup& s, BitReader& br,
         }
     }
     for (uint32_t i = 0; i < f.n_posts; i++) {
-        out_posts[i] = (int32_t)fin[i];
+        // clamp to the floor range (setup/floor.py _unwrap parity):
+        // malformed streams can fold past [0, range-1]
+        int64_t v = fin[i];
+        if (v < 0) v = 0;
+        if (v > rng - 1) v = rng - 1;
+        out_posts[i] = (int32_t)v;
         out_step2[i] = st2[i];
     }
     return true;

@@ -304,8 +304,14 @@ class PacketProvider:
         anchors: list[int] = []  # page end-granule where packet completes, else -1
         prev_n = 0  # 0 marks "no previous frame": first packet emits nothing
         pi, ki = first_data, 0
+        pending_resync = False
         while pi < len(s.pages):
             meta = s.pages[pi]
+            if meta.is_resync and ki == 0:
+                # lost data: the decoder drops its lap state, so the next
+                # decodable packet re-primes and emits nothing
+                # (StreamDecoder._next_block resync handling)
+                pending_resync = True
             if ki >= meta.n_starts:
                 pi += 1
                 ki = 0
@@ -313,10 +319,16 @@ class PacketProvider:
             pkt = self._assemble(pi, ki)
             if pkt is None:
                 break
-            if pkt is not _LOST:
+            if pkt is _LOST:
+                pending_resync = True
+            else:
                 n = blocksize_of(pkt)
                 if n > 0:
-                    count = (prev_n + n) // 4 if prev_n else 0
+                    if pending_resync:
+                        count = 0
+                        pending_resync = False
+                    else:
+                        count = (prev_n + n) // 4 if prev_n else 0
                     prev_n = n
                 else:
                     count = 0  # undecodable: lapping state unchanged

@@ -156,6 +156,10 @@ class Codebook:
             count = lookup1_values(self.entries, self.dimensions)
         else:
             count = self.entries * self.dimensions
+        if count * value_bits > br.bits_remaining:
+            # reject before allocating/looping: a crafted entries*dims can
+            # reach ~1e12 while the packet holds only a few bytes
+            raise InvalidDataError("codebook lookup table exceeds packet size")
         mults = np.array(
             [br.read_bits(value_bits) for _ in range(count)], dtype=np.float64
         )

@@ -279,6 +279,11 @@ class Floor1:
             else:
                 step2[i] = False
                 final[i] = predicted
+        # clamp: malformed streams can carry book values larger than the
+        # floor range, driving the fold negative / past the range — clamped
+        # here so every consumer (scalar render, u8 device transport, C++
+        # mirror) sees in-range posts instead of wrapping or crashing
+        np.clip(final, 0, rng - 1, out=final)
         return final, step2
 
     # -- synthesis (spec 7.2.3/7.2.4) ----------------------------------------------
@@ -307,7 +312,7 @@ class Floor1:
             lx, ly = hx, hy
         if hx < half:
             ylut[hx:] = hy
-        return INVERSE_DB_TABLE[np.minimum(ylut, 255)]
+        return INVERSE_DB_TABLE[np.clip(ylut, 0, 255)]
 
 
 def render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:

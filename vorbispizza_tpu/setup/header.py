@@ -90,8 +90,12 @@ def parse_comments(data: bytes) -> CommentHeader:
     if br.read_bits(8) != 0x03 or br.read_bytes(6) != _VORBIS:
         raise InvalidDataError("invalid comment header signature")
     vlen = br.read_bits(32)
+    if vlen > br.bits_remaining // 8:
+        raise InvalidDataError("comment header vendor length exceeds packet")
     vendor = br.read_bytes(vlen).decode("utf-8", errors="replace")
     count = br.read_bits(32)
+    if count > br.bits_remaining // 32:  # each comment needs >= 32 bits
+        raise InvalidDataError("comment count exceeds packet size")
     comments = []
     for _ in range(count):
         clen = br.read_bits(32)
