@@ -378,9 +378,19 @@ class PacketProvider:
     def seek_to_granule(self, granule: int, preroll: int, blocksize_of) -> int:
         """Position the cursor ``preroll`` packets before the packet containing
         sample ``granule``; returns the start granule of the target packet
-        (reference PacketProvider.SeekTo:56)."""
+        (reference PacketProvider.SeekTo:56).
+
+        Fast path: bisect the page index by end-granule and measure only the
+        packets of the target page (reference FindPageBisection:269 +
+        GetTargetPageInfo:90 measure only what the seek touches). Streams
+        with resync gaps or odd anchoring fall back to the exact full
+        granule table."""
         if granule < 0:
             raise SeekOutOfRangeError(str(granule))
+        if self._granule_table is None:
+            result = self._seek_bisect(granule, preroll, blocksize_of)
+            if result is not None:
+                return result
         table = self.build_granule_table(blocksize_of)
         if not table.end:
             raise SeekOutOfRangeError(str(granule))
@@ -396,6 +406,142 @@ class PacketProvider:
         self._packet_cursor = table.packet_idx[j]
         self._pending_resync = False
         return target_start
+
+    def _seek_bisect(self, granule: int, preroll: int, blocksize_of):
+        """Page-granule bisection seek; returns the target packet's start
+        granule, or None when this stream needs the exact-table fallback
+        (resync gaps, missing anchors, target before the first anchor)."""
+        s = self._s
+        s.ensure_all_pages()
+        first_data = s.first_data_page or 0
+        pages = s.pages
+        if first_data >= len(pages):
+            raise SeekOutOfRangeError(str(granule))
+        # anchored data pages in index order
+        anchored = [
+            i for i in range(first_data, len(pages)) if pages[i].granule >= 0
+        ]
+        if not anchored:
+            return None
+        if any(pages[i].is_resync for i in range(first_data, len(pages))):
+            return None  # corrupted stream: use the exact table
+        if granule > pages[anchored[-1]].granule:
+            raise SeekOutOfRangeError(str(granule))
+        # first anchored page whose end-granule covers the target
+        lo, hi = 0, len(anchored) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if pages[anchored[mid]].granule < granule:
+                lo = mid + 1
+            else:
+                hi = mid
+        pi = anchored[lo]
+        base = pages[anchored[lo - 1]].granule if lo > 0 else None
+
+        # measure the packets completing on page pi: walk forward from the
+        # previous packet's blocksize (reference GetPacketGranuleCount —
+        # mode header only), then derive start granules from the page's
+        # end-granule anchor
+        entries = self._measure_page(pi, blocksize_of)
+        if entries is None:
+            return None
+        counts = [c for (_, _, c) in entries]
+        end_granule = pages[pi].granule
+        start0 = end_granule - sum(counts)
+        if base is not None and start0 != base:
+            # lapping irregularities (start offsets, end trims) — be exact
+            return None
+        if base is None and start0 < 0:
+            return None  # start-trimmed stream (issue6test): exact table
+        # locate the packet containing `granule` (table-path semantics:
+        # first packet whose END granule exceeds the target)
+        pos = start0
+        for k, (pg, pk, c) in enumerate(entries):
+            if granule < pos + c or k == len(entries) - 1:
+                target_start = pos
+                j = k - preroll
+                while j < 0:
+                    prev = self._prev_measurable(entries[0][0], blocksize_of)
+                    if prev is None:
+                        j = 0
+                        break
+                    entries = prev + entries
+                    j += len(prev)
+                pg, pk, _ = entries[max(j, 0)]
+                self._page_cursor = pg
+                self._packet_cursor = pk
+                self._pending_resync = False
+                return target_start
+            pos += c
+        return None
+
+    def _measure_page(self, pi: int, blocksize_of):
+        """[(page_idx, packet_idx, sample_count)] for packets COMPLETING on
+        page ``pi`` — including a packet continued from an earlier page —
+        measured from mode headers only (reference GetPacketGranuleCount),
+        or None if unmeasurable."""
+        s = self._s
+        meta = s.pages[pi]
+        completing: list[tuple[int, int]] = []
+        if meta.continues_packet:
+            loc = self._last_start_before(pi)
+            if loc is None:
+                return None
+            completing.append(loc)
+        n_st = meta.n_starts - (1 if meta.last_incomplete else 0)
+        completing.extend((pi, k) for k in range(n_st))
+        if not completing:
+            return None
+        # lapping context: the packet preceding the first completing one
+        prev_n = 0
+        prev_loc = self._packet_before(*completing[0])
+        if prev_loc is not None:
+            pkt = self.get_packet_at(*prev_loc)
+            if pkt is None:
+                return None
+            prev_n = blocksize_of(pkt)
+        out = []
+        for pg, pk in completing:
+            pkt = self.get_packet_at(pg, pk)
+            if pkt is None:
+                return None
+            n = blocksize_of(pkt)
+            if n > 0:
+                count = (prev_n + n) // 4 if prev_n else 0
+                prev_n = n
+            else:
+                count = 0
+            out.append((pg, pk, count))
+        return out
+
+    def _last_start_before(self, pi: int):
+        """(page_idx, packet_idx) of the last packet starting before page
+        ``pi``, or None."""
+        qi = pi - 1
+        first_data = self._s.first_data_page or 0
+        while qi >= first_data:
+            if self._s.pages[qi].n_starts > 0:
+                return (qi, self._s.pages[qi].n_starts - 1)
+            qi -= 1
+        return None
+
+    def _packet_before(self, pg: int, pk: int):
+        if pk > 0:
+            return (pg, pk - 1)
+        return self._last_start_before(pg)
+
+    def _prev_measurable(self, pi: int, blocksize_of):
+        """Measurement entries for the page before ``pi`` (preroll walk)."""
+        qi = pi - 1
+        first_data = self._s.first_data_page or 0
+        while qi >= first_data:
+            if self._s.pages[qi].granule >= 0 and (
+                self._s.pages[qi].n_starts > 0
+                or self._s.pages[qi].continues_packet
+            ):
+                return self._measure_page(qi, blocksize_of)
+            qi -= 1
+        return None
 
     def get_granule_count(self, blocksize_of) -> int:
         return self.build_granule_table(blocksize_of).total
