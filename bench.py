@@ -56,9 +56,15 @@ def main() -> None:
                     o.block_until_ready()
         return total_audio / ((time.perf_counter() - t0) / reps)
 
-    rtf_f32 = measure(output="f32")
-    rtf_s16 = measure(output="s16")
-    rtf_device = measure(output="device")
+    def safe(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            return -1.0
+
+    rtf_f32 = safe(measure, output="f32")
+    rtf_s16 = safe(measure, output="s16")
+    rtf_device = safe(measure, output="device")
 
     # single-stream end-to-end (no cross-stream overlap), for the breakdown
     decode_corpus(corpus[:1], output="s16")  # warm single-stream shapes

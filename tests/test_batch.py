@@ -125,3 +125,15 @@ def test_chunked_long_stream_decode_identical():
         got = decode(mf)
         assert got.shape == ref.shape
         np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_eight_channels():
+    """8-channel uncoupled stream (channel-count scaling beyond 5.1)."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(8, 0.4, kind="music", seed=21)
+    data = encode_vorbis(sig, quality=0.3)
+    ref = scalar_decode(data)
+    got = decode_file_batch(data)
+    assert got.shape == ref.shape and got.shape[0] == 8
+    assert np.abs(ref - got).max() <= TOL

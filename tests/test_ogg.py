@@ -125,3 +125,58 @@ def test_forward_only_stream(testfile1):
     while pr.get_next_packet() is not None:
         n += 1
     assert n > 3
+
+
+def test_scanner_random_access_helpers(testfile1):
+    """read_header_at / read_page_at / find_page_after / stream_length
+    (reference PageReader.ReadPageHeaderAt:159, ReadPageAt:104)."""
+    import io
+
+    from vorbispizza_tpu.ogg.page import PageScanner
+
+    data = testfile1.read_bytes()
+    sc = PageScanner(io.BytesIO(data))
+    p0 = sc.next_page()
+    p1 = sc.next_page()
+    assert sc.stream_length() == len(data)
+    info = sc.read_header_at(p1.offset)
+    assert (info.serial, info.sequence, info.granule) == (
+        p1.serial, p1.sequence, p1.granule,
+    )
+    again = sc.read_page_at(p1.offset)
+    assert again.payload == p1.payload
+    after = sc.find_page_after(p0.offset + 1)
+    assert after.offset == p1.offset
+    # scanner's sequential state is undisturbed by random access
+    p2 = sc.next_page()
+    assert p2.sequence == p1.sequence + 1
+
+
+def test_peek_next_packet(testfile1):
+    import io
+
+    from vorbispizza_tpu.ogg.container import OggContainer
+
+    c = OggContainer(io.BytesIO(testfile1.read_bytes()))
+    c.try_init()
+    pr = c.providers[0]
+    peeked = pr.peek_next_packet()
+    got = pr.get_next_packet()
+    assert peeked.data == got.data and peeked.granule == got.granule
+
+
+def test_invalidate_granule_table(testfile1):
+    import io
+
+    from vorbispizza_tpu.decoder import StreamDecoder
+    from vorbispizza_tpu.ogg.container import OggContainer
+
+    c = OggContainer(io.BytesIO(testfile1.read_bytes()))
+    c.try_init()
+    pr = c.providers[0]
+    d = StreamDecoder(pr)
+    d.initialize()
+    t1 = pr.build_granule_table(d.get_packet_blocksize)
+    pr.invalidate_granule_table()
+    t2 = pr.build_granule_table(d.get_packet_blocksize)
+    assert t1 is not t2 and t1.end == t2.end

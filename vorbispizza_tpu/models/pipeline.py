@@ -1,12 +1,16 @@
-"""TPU batch decode pipeline: fused per-bucket synthesis + scatter-add OLA.
+"""TPU batch decode pipeline: ONE fused XLA program from packed host
+tensors to PCM.
 
 The flagship compute path of the framework. The host front end (frames.py)
-emits dense per-bucket tensors; everything from there to PCM runs on device
-as one XLA program per bucket:
+emits sparse-packed per-bucket tensors in four typed transfer buffers;
+everything from there to PCM runs on device as a single program:
 
-    floor curves (ops/floor) -> coupling inverse (ops/coupling)
-    -> spectrum = residue * floor -> IMDCT + window (ops/imdct, MXU matmul)
-    -> priming/final masks -> scatter-add OLA (ops/ola) -> segment slice
+    sparse residue expansion (block gather) -> floor curves (ops/floor,
+    gather-free one-hot MXU contractions) -> coupling inverse
+    (ops/coupling) -> spectrum = residue * floor -> IMDCT + window
+    (ops/imdct, compensated MXU matmul) -> priming/final masks ->
+    overlap-add (ops/ola_pallas per-hop DMA kernel; two-gather fallback
+    for granule-trimmed streams) -> optional s16 quantize
 
 Replaces the reference's serial packet loop + per-channel IMDCT + lapping
 (NVorbis/StreamDecoder.cs:640-791) with frame-parallel device math; the
