@@ -73,23 +73,23 @@ class FramePlan:
     def pcm_length(self) -> int:
         return sum(e - s for s, e in self.segments)
 
-
-def read_mode_header(data: bytes, setup) -> tuple[int, bool, bool] | None:
-    """(mode_idx, prev_flag, next_flag) from an audio packet's first bits, or
-    None if the packet is not decodable audio."""
-    if not data:
-        return None
-    br = BitReader(data)
-    if br.read_bit():
-        return None
-    mode_idx = br.read_bits(setup.mode_bits)
-    if mode_idx >= len(setup.modes) or br.overrun:
-        return None
-    mode = setup.modes[mode_idx]
-    prev_flag, next_flag = mode.read_window_flags(br)
-    if br.overrun:
-        return None
-    return mode_idx, prev_flag, next_flag
+    def is_cut_free(self) -> bool:
+        """True when every chain keeps exactly its full center-to-center
+        span — i.e. no granule trims (the fast OLA/split paths' domain)."""
+        for chain, segs in zip(self.chains, self.chain_segments):
+            if len(chain) < 2:
+                if segs:
+                    return False
+                continue
+            first = self.frames[chain[0]]
+            last = self.frames[chain[-1]]
+            span = (
+                first.offset + first.info.n // 2,
+                last.offset + last.info.n // 2,
+            )
+            if segs != [span]:
+                return False
+        return True
 
 
 def build_plan(provider: PacketProvider, setup) -> FramePlan:
@@ -120,8 +120,12 @@ def build_plan(provider: PacketProvider, setup) -> FramePlan:
             continue
         v = data[0] | ((data[1] << 8) if len(data) > 1 else 0)
         mode_idx = (v >> 1) & mode_mask
-        if mode_idx >= n_modes or need_bits[mode_idx] > 8 * len(data):
-            continue
+        if mode_idx >= n_modes:
+            # scalar-anchor parity: StreamDecoder._decode_packet raises on
+            # an out-of-range mode index (decoder.py) — so must the plan
+            raise InvalidDataError("mode index out of bounds")
+        if need_bits[mode_idx] > 8 * len(data):
+            continue  # window flags truncated: undecodable, skip (anchor parity)
         if block_flags[mode_idx]:
             prev_flag = bool((v >> (1 + mode_bits)) & 1)
             next_flag = bool((v >> (2 + mode_bits)) & 1)
@@ -241,18 +245,8 @@ def split_plan(plan: FramePlan, max_frames: int) -> list[FramePlan]:
     if len(plan.frames) <= max_frames:
         return [plan]
     max_frames = max(max_frames, 2)
-    for chain, segs in zip(plan.chains, plan.chain_segments):
-        if len(chain) >= 2:
-            first = plan.frames[chain[0]]
-            last = plan.frames[chain[-1]]
-            span = (
-                first.offset + first.info.n // 2,
-                last.offset + last.info.n // 2,
-            )
-            if segs != [span]:
-                return [plan]
-        elif segs:
-            return [plan]
+    if not plan.is_cut_free():
+        return [plan]
 
     plans: list[FramePlan] = []
     cur_frames: list[FrameEntry] = []
@@ -356,14 +350,20 @@ class BucketBatch:
 
 
 def extract_batch(
-    plan: FramePlan, setup, channels: int, ident=None, use_native: bool = True
+    plan: FramePlan, setup, channels: int, ident=None,
+    use_native: bool | None = None,
 ) -> list[BucketBatch]:
     """Pass 2: entropy-decode every frame into per-bucket dense tensors.
 
     Uses the C++ front end (native/frontend.cpp, threaded over packets) when
     available and ``ident`` is provided; falls back to the pure-Python
     decode otherwise. Both paths produce identical tensors (double
-    accumulation, float32 output)."""
+    accumulation, float32 output). ``use_native=None`` follows
+    VorbisConfig.default.use_native_frontend."""
+    if use_native is None:
+        from .config import VorbisConfig
+
+        use_native = VorbisConfig.default.use_native_frontend
     if use_native and ident is not None:
         from . import native
 

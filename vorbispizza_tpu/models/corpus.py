@@ -19,7 +19,15 @@ import io
 import numpy as np
 
 from ..decoder import CLIP_MAX, StreamDecoder
-from ..frames import BucketBatch, FloorGroup, FrameEntry, FramePlan, build_plan, extract_batch
+from ..frames import (
+    BatchUnsupported,
+    BucketBatch,
+    FloorGroup,
+    FrameEntry,
+    FramePlan,
+    build_plan,
+    extract_batch,
+)
 from ..ogg.container import OggContainer
 from .pipeline import BatchSynthesizer
 
@@ -43,9 +51,10 @@ def _front_end_native(data: bytes):
     """All-native front end: C++ Ogg scan + C++ entropy decode. Returns None
     when the native path cannot model the stream (Python fallback)."""
     from .. import native
+    from ..config import VorbisConfig
     from ..setup.header import parse_comments, parse_ident, parse_setup_cached
 
-    if not native.available():
+    if not VorbisConfig.default.use_native_frontend or not native.available():
         return None
     res = native.scan_ogg(data)
     if res is None or len(res[0]) < 3:
@@ -173,14 +182,35 @@ def merge_streams(items):
     return plan_m, out_buckets, pcm_lengths
 
 
+def _scalar_fallback(source, output: str, clip_samples: bool):
+    """Exact streaming decode of one source (BatchUnsupported streams)."""
+    import jax.numpy as jnp
+
+    from ..reader import VorbisReader
+
+    r = VorbisReader(
+        source if isinstance(source, (str, bytes)) else bytes(source),
+        clip_samples=clip_samples,
+    )
+    r.initialize()
+    pcm = r.read_all(planar=True)
+    if output == "s16":
+        return np.clip(
+            np.rint(pcm.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+    if output == "device":
+        return jnp.asarray(pcm)
+    return pcm
+
+
 def decode_corpus(
     sources,
     *,
-    n_workers: int = 8,
+    n_workers: int | None = None,
     clip_samples: bool = True,
     output: str = "f32",
     batched: bool = True,
-    max_batch_bytes: int = 12 << 20,
+    max_batch_bytes: int | None = None,
     devices=None,
 ):
     """Decode many Ogg Vorbis sources (paths or bytes) -> list of planar
@@ -205,6 +235,13 @@ def decode_corpus(
     over (stream-level data parallelism across chips; each chunk runs
     whole on one chip — no cross-chip dependencies exist between streams).
     """
+    from ..config import VorbisConfig
+
+    cfg = VorbisConfig.default
+    if n_workers is None:
+        n_workers = cfg.corpus_workers
+    if max_batch_bytes is None:
+        max_batch_bytes = cfg.corpus_batch_bytes
     fmt = "s16" if output == "s16" else "f32"
 
     def finish(arr, n_streams_lengths=None):
@@ -227,7 +264,10 @@ def decode_corpus(
             synth = synths.setdefault(
                 id(setup), BatchSynthesizer(setup, channels)
             )
-            outs[i] = finish(synth.assemble(plan, buckets, output=fmt))
+            try:
+                outs[i] = finish(synth.assemble(plan, buckets, output=fmt))
+            except BatchUnsupported:
+                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
         return outs
 
     # group by (setup identity, channels); one fused execution per group
@@ -258,14 +298,18 @@ def decode_corpus(
                 [(fronts[i][2], fronts[i][3]) for i in chunk]
             )
             dev = devices[ci % len(devices)] if devices else None
-            # dispatch is async: all chunks are in flight before any d2h
-            pending.append(
-                (
-                    chunk,
-                    pcm_lengths,
-                    synth.assemble(plan_m, buckets_m, output=fmt, device=dev),
+            try:
+                # dispatch is async: chunks are in flight before any d2h
+                merged_out = synth.assemble(
+                    plan_m, buckets_m, output=fmt, device=dev
                 )
-            )
+            except BatchUnsupported:
+                # stream shapes the batch planner cannot model: decode each
+                # stream of this chunk with the scalar anchor instead
+                for i in chunk:
+                    outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+                continue
+            pending.append((chunk, pcm_lengths, merged_out))
         for chunk, pcm_lengths, merged_out in pending:
             if output == "device":
                 c = 0

@@ -60,8 +60,12 @@ class BatchSynthesizer:
         self.channels = channels
         self._fns: dict = {}
         if use_pallas_ola is None:
-            # the Pallas hop kernel targets real TPUs; interpret mode on CPU
-            # is for unit tests only (ops/ola_pallas.py)
+            from ..config import VorbisConfig
+
+            use_pallas_ola = VorbisConfig.default.use_pallas_ola
+        if use_pallas_ola is None:
+            # auto: the Pallas hop kernel targets real TPUs; interpret mode
+            # on CPU is for unit tests only (ops/ola_pallas.py)
             use_pallas_ola = jax.default_backend() == "tpu"
         self.use_pallas_ola = use_pallas_ola
 
@@ -184,19 +188,8 @@ class BatchSynthesizer:
         """Per-class hop arrays for the Pallas OLA kernel, or None when the
         plan has granule cuts (gather fallback). Returns (classes, total):
         classes maps HopClass -> (src_a, src_b, dst) int32 lists."""
-        for chain, segs in zip(plan.chains, plan.chain_segments):
-            if len(chain) < 2:
-                if segs:
-                    return None
-                continue
-            first = plan.frames[chain[0]]
-            last = plan.frames[chain[-1]]
-            span = (
-                first.offset + first.info.n // 2,
-                last.offset + last.info.n // 2,
-            )
-            if segs != [span]:
-                return None  # trimmed stream: use the gather path
+        if not plan.is_cut_free():
+            return None  # trimmed stream: use the gather path
         classes: dict[HopClass, tuple[list, list, list]] = {}
         out_pos = 0
         for chain in plan.chains:
@@ -225,7 +218,6 @@ class BatchSynthesizer:
         ``padded_n``: per-bucket (Fp, n, ...) after row padding — flat layout
         is the concatenation of each bucket's [C, Fp*n] block."""
         n_frames = len(plan.frames)
-        flat_base = np.zeros(n_frames, dtype=np.int64)
         # nonzero support of each windowed frame: [left_start, right_end),
         # narrowed to [center, ...) for priming frames and [..., center) for
         # chain-final frames (their outer halves are masked to zero)
@@ -238,13 +230,7 @@ class BatchSynthesizer:
         offsets = np.array([fr.offset for fr in plan.frames], dtype=np.int64)
         offsets_eff = offsets + sup_start
         ends_eff = offsets + sup_end
-        base = 0
-        for bucket, pn in zip(buckets, padded_n):
-            Fp, n = pn[0], pn[1]
-            flat_base[bucket.frame_indices] = base + np.arange(
-                len(bucket.frame_indices), dtype=np.int64
-            ) * n
-            base += Fp * n
+        flat_base = self._flat_base(plan, buckets, padded_n)
         # validity checks: ascending supports, coverage depth <= 2 (these
         # hold for all spec-conformant window geometry, incl. across chain
         # boundaries — chain-final/priming masks confine each chain's

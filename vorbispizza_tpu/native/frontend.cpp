@@ -405,6 +405,7 @@ inline bool decode_partition(const CodebookV& book, BitReader& br, double* vec,
                              int64_t vec_len, int64_t offset, int64_t psize,
                              bool fmt1) {
     int64_t dims = book.dims;
+    if (dims < 1) return false;  // rejected at parse time; belt-and-braces
     const float* table = book.lookup;
     if (fmt1) {
         for (int64_t i = 0; i < psize; i += dims) {
@@ -643,27 +644,6 @@ int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
             threads.emplace_back(work, lo, hi);
         }
         for (auto& th : threads) th.join();
-    }
-    return 0;
-}
-
-// exact sample-count measurement without decode (mode header only):
-// returns blocksize exponent table use — kept minimal for the granule path
-int vp_packet_blocksizes(const uint8_t* blob, int64_t blob_len,
-                         const uint8_t* pkt_data, const int64_t* pkt_off,
-                         int64_t n_pkts, int32_t* out_n) {
-    Setup s;
-    if (!parse_setup(blob, blob_len, s)) return -1;
-    for (int64_t i = 0; i < n_pkts; i++) {
-        const uint8_t* data = pkt_data + pkt_off[i];
-        int64_t len = pkt_off[i + 1] - pkt_off[i];
-        out_n[i] = 0;
-        if (len <= 0) continue;
-        BitReader br(data, len);
-        if (br.read(1)) continue;
-        uint64_t mode_idx = br.read((int)s.mode_bits);
-        if (mode_idx >= s.modes.size() || br.overrun) continue;
-        out_n[i] = s.modes[mode_idx].block_flag ? (int32_t)s.bs1 : (int32_t)s.bs0;
     }
     return 0;
 }

@@ -23,9 +23,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..frames import BatchUnsupported
 
-class OlaUnsupported(Exception):
-    """More than two frames cover one output sample (malformed geometry)."""
+
+class OlaUnsupported(BatchUnsupported):
+    """Overlap geometry the batch OLA cannot model (non-ascending frame
+    supports, >2-deep coverage). Subclasses BatchUnsupported so callers of
+    the batch pipeline need a single fallback exception."""
 
 
 def gather_assemble(flat, a_idx, b_idx, b_valid, a_valid):

@@ -46,7 +46,9 @@ class Residue:
                     if bi >= len(codebooks):
                         raise InvalidDataError("residue book out of range")
                     book = codebooks[bi]
-                    if not book.has_lookup:
+                    if not book.has_lookup or book.dimensions < 1:
+                        # dims==0 books cannot advance the partition loop
+                        # (and would divide by zero in format 0)
                         raise InvalidDataError("residue book lacks value mapping")
                     row.append(book)
                 else:
@@ -157,7 +159,11 @@ class Residue:
                 sym = decode_scalar(br)
                 if sym < 0:
                     return False
-                vec[offset + i : offset + i + dims] += table[sym]
+                seg = vec[offset + i : offset + i + dims]
+                # clamp at the vector end (possible when partition_size is
+                # not a multiple of dims on a malformed stream); mirrors the
+                # C++ front end exactly
+                seg += table[sym][: len(seg)]
                 i += dims
         else:
             # format 0 (spec 8.6.3): interleaved stride (reference Residue0.cs:208)
