@@ -29,7 +29,7 @@ def main() -> None:
     from vorbispizza_tpu.reader import VorbisReader
     from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
 
-    n_streams = 8
+    n_streams = 16
     seconds = 15.0
     corpus = []
     for seed in range(n_streams):
