@@ -300,3 +300,33 @@ def test_out_of_bounds_mode_index_raises_in_both_paths():
         batch_err = e
     # both paths agree: either both raise or both decode
     assert (scalar_err is None) == (batch_err is None)
+
+
+def test_oddbooks_stream(tmp_path):
+    """Ordered-length + sparse codebooks and 6-bit mode numbers (reference
+    libnogg '6-mode-bits' / 'single-code-sparse' analogs): scalar matches
+    the native oracle and the batch pipeline matches the scalar anchor."""
+    from vorbispizza_tpu.testing.rawstream import make_oddbooks_stream
+
+    data = make_oddbooks_stream()
+    nat = oracle_decode(data, tmp_path)
+    r = VorbisReader(data)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert got.shape == nat.shape
+    assert np.abs(s16(got) - s16(nat)).max() <= 2
+    batch = decode_file_batch(data)
+    assert batch.shape == got.shape
+    assert np.abs(batch - got).max() <= 2e-6
+
+
+def test_single_entry_codebook():
+    """Single-used-entry (sparse) books decode with zero-bit... one-bit
+    codewords without erroring (reference 'single-code-sparse.ogg' analog,
+    which native libvorbis rejects but NVorbis accepts — ensure_okay)."""
+    from vorbispizza_tpu.setup.codebook import assign_codewords
+
+    assert assign_codewords([1]) == [0]
+    assert assign_codewords([0, 3, 0]) == [0, 0, 0]  # sparse single code
+    # under-specified trees are permitted (missing leaves never decode)
+    assert assign_codewords([2, 2]) == [0, 1]

@@ -61,13 +61,15 @@ def pack_float(mantissa: int, exponent: int, negative: bool = False) -> int:
 @dataclass
 class BookSpec:
     dims: int
-    lengths: list[int]
+    lengths: list[int]  # 0 == unused entry (requires sparse=True)
     # lookup type 1 lattice (None => no lookup / scalar context)
     minimum: int | None = None  # packed float
     delta: int | None = None  # packed float
     value_bits: int = 2
     mults: list[int] | None = None
     sequence_p: int = 0
+    sparse: bool = False
+    ordered: bool = False
 
     @property
     def entries(self) -> int:
@@ -80,10 +82,27 @@ class BookSpec:
         w.write(0x564342, 24)  # sync
         w.write(self.dims, 16)
         w.write(self.entries, 24)
-        w.write(0, 1)  # not ordered
-        w.write(0, 1)  # not sparse
-        for l in self.lengths:
-            w.write(l - 1, 5)
+        if self.ordered:
+            w.write(1, 1)
+            w.write(self.lengths[0] - 1, 5)
+            i = 0
+            while i < self.entries:
+                cur = self.lengths[i]
+                j = i
+                while j < self.entries and self.lengths[j] == cur:
+                    j += 1
+                w.write(j - i, ilog(self.entries - i))
+                i = j
+        else:
+            w.write(0, 1)  # not ordered
+            w.write(1 if self.sparse else 0, 1)
+            for l in self.lengths:
+                if self.sparse:
+                    if l == 0:
+                        w.write(0, 1)
+                        continue
+                    w.write(1, 1)
+                w.write(l - 1, 5)
         if self.minimum is None:
             w.write(0, 4)  # no lookup
         else:
@@ -580,4 +599,67 @@ def make_multisubmap_stream(n_packets: int = 24, rate: int = 22050, seed: int = 
         # residue type 2 over one channel == type 1 over its samples
         write_residue(w, residue_b, resbook_b, 1, fmt2=True)
         packets.append((w.bytes(), (n // 2) * k))
+    return page_stream(packets)
+
+
+def make_oddbooks_stream(n_packets: int = 16, rate: int = 16000, seed: int = 4):
+    """Mono floor1 stream exercising codebook corner cases the encoder
+    never emits: an ORDERED-length residue book, a SPARSE floor book with
+    unused entries, and 33 modes (6-bit per-packet mode numbers — the
+    libnogg '6-mode-bits' vector analog)."""
+    rng = np.random.default_rng(seed)
+    n = 256
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    # ordered code lengths: canonical assignment over an ascending-length
+    # codebook (spec 3.2.1 ordered flag)
+    resbook = BookSpec(
+        dims=2, lengths=[1, 2, 3, 3],
+        minimum=pack_float(1, 788, negative=True), delta=pack_float(1, 788),
+        value_bits=1, mults=[0, 1], ordered=True,
+    )
+    # sparse floor book: 8 entries, only 4 used
+    ybook = BookSpec(dims=1, lengths=[2, 0, 2, 0, 2, 0, 2, 0], sparse=True)
+    books = [classbook, resbook, ybook]
+
+    floor = Floor1Spec(
+        partition_classes=[0], class_dims=[2], class_subclasses=[0],
+        class_masterbooks=[None], subclass_books=[[2]],
+        multiplier=2, rangebits=7, xs_extra=[32, 96],
+    )
+    residue = ResidueSpec(
+        rtype=1, begin=0, end=64, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    mapping = MappingSpec(submap_floor=[0], submap_residue=[0])
+    modes = [ModeSpec(0)] * 33  # ilog(32) == 6 mode bits
+
+    headers = [
+        ident_packet(1, rate, n, n),
+        comment_packet(),
+        setup_packet(books, [floor], [residue], [mapping], modes, channels=1),
+    ]
+    used_syms = [i for i, l in enumerate(ybook.lengths) if l > 0]
+    packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
+    for k in range(n_packets):
+        w = BitWriter()
+        w.write(0, 1)
+        w.write(int(rng.integers(0, 33)), 6)  # any of the 33 modes
+        w.write(1, 1)  # floor present
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        for _ in range(2):
+            ybook.write_symbol(w, int(rng.choice(used_syms)))
+        n_parts = 64 // 8
+        pc = 0
+        while pc < n_parts:
+            classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(2):
+                if pc >= n_parts:
+                    break
+                for _s in range(4):
+                    resbook.write_symbol(w, int(rng.integers(0, 4)))
+                pc += 1
+        packets.append((w.bytes(), 128 * k))
     return page_stream(packets)
