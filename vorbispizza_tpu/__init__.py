@@ -6,7 +6,7 @@ assembly, setup parsing, Huffman/VQ entropy decode. Device side: batched
 floor synthesis, coupling inverse, IMDCT, windowed overlap-add.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .config import VorbisConfig
 from .decoder import StreamDecoder
