@@ -330,3 +330,81 @@ def test_single_entry_codebook():
     assert assign_codewords([0, 3, 0]) == [0, 0, 0]  # sparse single code
     # under-specified trees are permitted (missing leaves never decode)
     assert assign_codewords([2, 2]) == [0, 1]
+
+
+def _repage(pkts):
+    from vorbispizza_tpu.testing.rawstream import page_stream
+
+    return page_stream(pkts)
+
+
+def test_seek_over_undecodable_packet_not_shifted():
+    """A non-audio packet just before the seek target must not eat the
+    target as the lapping primer (preroll skips undecodable packets)."""
+    pkts = _floor0_packets()
+    # insert a bogus non-audio packet mid-stream (type bit set)
+    k = 6
+    pkts = pkts[:k] + [(b"\x81junk", 0)] + pkts[k:]
+    data = _repage(pkts)
+    r = VorbisReader(data)
+    r.initialize()
+    ref = r.read_all(planar=False)
+    # target right after the junk packet's position
+    for pos in (128 * 3 + 7, 128 * 4, 128 * 4 + 65):
+        r.seek_to(pos)
+        got = r.read_samples(64)
+        assert np.array_equal(got, ref[pos : pos + 64]), pos
+
+
+def test_end_trim_spanning_packets():
+    """An encoder end-trim larger than the final packet's emission must not
+    leak extra samples past total_samples (uncommitted-block retraction)."""
+    pkts = _floor0_packets()
+    n_pkts = len(pkts) - 3  # audio packets
+    full = 128 * (n_pkts - 1)
+    trim = 200  # spans two 128-sample packet emissions
+    pkts = [
+        (d, 0) if i < 3 else (d, min(g, full - trim))
+        for i, (d, g) in enumerate(pkts)
+    ]
+    data = _repage(pkts)
+    r = VorbisReader(data)
+    r.initialize()
+    out = r.read_all(planar=False)
+    assert out.shape[0] == full - trim == r.total_samples
+    # eager small reads must agree with one big read
+    r2 = VorbisReader(data)
+    r2.initialize()
+    chunks = []
+    while True:
+        c = r2.read_samples(7)
+        if c.shape[0] == 0:
+            break
+        chunks.append(c)
+    assert sum(c.shape[0] for c in chunks) == full - trim
+
+
+def test_forward_only_long_stream_raises_not_seekable():
+    from vorbispizza_tpu.errors import NotSeekableError
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(make_signal(2, 30.0, kind="noise", seed=8), quality=1.0)
+
+    class Fwd:
+        def __init__(self, b):
+            self._b = b
+            self._p = 0
+
+        def read(self, n=-1):
+            out = self._b[self._p : self._p + n if n >= 0 else None]
+            self._p += len(out)
+            return out
+
+        def seekable(self):
+            return False
+
+    r = VorbisReader(Fwd(data))
+    r.initialize()
+    r.read_samples(44100 * 28)  # move well past the payload cache window
+    with pytest.raises(NotSeekableError):
+        _ = r.total_samples

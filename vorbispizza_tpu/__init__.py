@@ -13,6 +13,7 @@ from .decoder import StreamDecoder
 from .errors import (
     EndOfStreamError,
     InvalidDataError,
+    NotSeekableError,
     PrerollPacketError,
     SeekOutOfRangeError,
     VorbisError,
@@ -31,5 +32,6 @@ __all__ = [
     "InvalidDataError",
     "EndOfStreamError",
     "SeekOutOfRangeError",
+    "NotSeekableError",
     "PrerollPacketError",
 ]

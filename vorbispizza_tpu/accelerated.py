@@ -65,13 +65,21 @@ class AcceleratedStreamDecoder:
                         container_bits=0,
                     )
             except (BatchUnsupported, OlaUnsupported):
-                # scalar fallback keeps exact streaming semantics
+                # scalar fallback keeps exact streaming semantics; read
+                # UNCLIPPED so the facade's own clip/has_clipped logic (and
+                # later clip_samples toggles) behave identically to the
+                # batch-decoded buffer
                 (
                     self._provider._page_cursor,
                     self._provider._packet_cursor,
                     self._provider._pending_resync,
                 ) = cursor
-                self._pcm = self._dec.read_all(planar=True)
+                saved_clip = self._dec.clip_samples
+                self._dec.clip_samples = False
+                try:
+                    self._pcm = self._dec.read_all(planar=True)
+                finally:
+                    self._dec.clip_samples = saved_clip
         return self._pcm
 
     # -- streaming surface (reference IStreamDecoder parity) ------------------------
@@ -97,8 +105,12 @@ class AcceleratedStreamDecoder:
         total = self.total_samples
         if sample_position < 0 or sample_position > total:
             raise SeekOutOfRangeError(str(sample_position))
-        self._ensure_decoded()
-        self._cursor = int(sample_position)
+        pcm = self._ensure_decoded()
+        # NOTE: positions index the gap-free PCM buffer. On corrupted
+        # streams with granule gaps these differ from granule positions
+        # (the streaming decoder's seek space) past the gap; the clamp keeps
+        # reads well-defined there.
+        self._cursor = min(int(sample_position), pcm.shape[1])
 
     # -- delegated metadata ----------------------------------------------------------
 
@@ -136,8 +148,8 @@ class AcceleratedStreamDecoder:
 
     @property
     def total_samples(self) -> int:
-        if self._pcm is not None:
-            return self._pcm.shape[1]
+        # always granule-based (scalar-decoder semantics, stable across the
+        # lazy decode; equals the PCM length except on gap streams)
         return self._dec.total_samples
 
     @property
@@ -151,7 +163,3 @@ class AcceleratedStreamDecoder:
     @property
     def is_end_of_stream(self) -> bool:
         return self._pcm is not None and self._cursor >= self._pcm.shape[1]
-
-    @property
-    def _provider_serial(self):
-        return self._provider.serial

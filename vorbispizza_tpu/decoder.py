@@ -57,6 +57,11 @@ class StreamDecoder:
         self._position: int | None = None  # sample pos after emitted samples
         self._pending: list[np.ndarray] = []  # decoded [ch, n] blocks to hand out
         self._pending_offset = 0
+        # blocks are handed out only once "committed" by a granule anchor or
+        # EOS: encoder end-trims can span several packets of the final page
+        # (reference :657-666), and trimming can only retract samples still
+        # held here
+        self._committed = 0  # committed block count within _pending
         self._eos = False
         self._total_samples: int | None = None
         self._base: int | None = None  # granule of the first decodable sample
@@ -165,7 +170,13 @@ class StreamDecoder:
         mode_idx = br.read_bits(self._setup.mode_bits)
         if mode_idx >= len(self._setup.modes) or br.overrun:
             return 0
-        return self._setup.modes[mode_idx].n
+        mode = self._setup.modes[mode_idx]
+        # a long-block packet truncated before its window flags is
+        # undecodable (_decode_packet returns None) — anchor parity
+        mode.read_window_flags(br)
+        if br.overrun:
+            return 0
+        return mode.n
 
     # -- packet decode ----------------------------------------------------------------
 
@@ -216,12 +227,15 @@ class StreamDecoder:
             packet = self._provider.get_next_packet()
             if packet is None:
                 self._eos = True
+                self._committed = len(self._pending)
                 return False
             if packet.is_resync:
-                # lost data: position lock drops (reference :719-722)
+                # lost data: position lock drops (reference :719-722); no
+                # later anchor can retract the blocks decoded before the gap
                 self._prev_tail = None
                 self._position = None
                 self._unanchored = 0
+                self._committed = len(self._pending)
             result = self._decode_packet(packet)
             if result is None:
                 continue  # undecodable packet: skip (reference keeps looping)
@@ -244,6 +258,10 @@ class StreamDecoder:
                     implied_start = granule - self._unanchored
                     if implied_start < 0:
                         self._cut_pending_tail(-implied_start)
+                    elif self._base is None:
+                        # remember the start offset so sample_position is
+                        # base-relative from the first read, matching seeks
+                        self._base = implied_start
                     self._unanchored = 0
                     new_pos = granule
                 if granule < new_pos:
@@ -258,9 +276,18 @@ class StreamDecoder:
                 self._position = new_pos
             if packet.is_end_of_stream:
                 self._eos = True
+            if granule >= 0 or self._eos:
+                # anchor seen: trims can no longer retract earlier blocks
+                self._committed = len(self._pending)
             return True
 
     def _cut_pending_tail(self, excess: int) -> None:
+        try:
+            self._cut_pending_tail_inner(excess)
+        finally:
+            self._committed = min(self._committed, len(self._pending))
+
+    def _cut_pending_tail_inner(self, excess: int) -> None:
         while excess > 0 and self._pending:
             block = self._pending[-1]
             avail = block.shape[1]
@@ -317,10 +344,10 @@ class StreamDecoder:
         chunks: list[np.ndarray] = []
         got = 0
         while got < count:
-            while not self._pending:
+            while self._committed == 0:
                 if self._eos or not self._next_block():
                     break
-            if not self._pending:
+            if self._committed == 0:
                 break
             block = self._pending[0]
             avail = block.shape[1] - self._pending_offset
@@ -330,6 +357,7 @@ class StreamDecoder:
             self._pending_offset += take
             if self._pending_offset >= block.shape[1]:
                 self._pending.pop(0)
+                self._committed -= 1
                 self._pending_offset = 0
         if chunks:
             data = np.concatenate(chunks, axis=1)
@@ -371,10 +399,18 @@ class StreamDecoder:
             raise PrerollPacketError("stream ended during preroll")
         self._pending.clear()
         self._pending_offset = 0
+        self._committed = 0
         self._position = target_start
         skip = sample_position + base - target_start
         if skip > 0:
-            self.read(skip, planar=True)
+            # discard without clip accounting: these samples are never
+            # delivered, so they must not set has_clipped
+            saved_clip = self.clip_samples
+            self.clip_samples = False
+            try:
+                self.read(skip, planar=True)
+            finally:
+                self.clip_samples = saved_clip
 
     def _base_granule(self) -> int:
         """Granule of the first decodable sample (nonzero for start-trimmed
@@ -390,6 +426,7 @@ class StreamDecoder:
         self._unanchored = 0
         self._pending.clear()
         self._pending_offset = 0
+        self._committed = 0
         self._eos = False
 
     @property

@@ -28,3 +28,9 @@ class SeekOutOfRangeError(VorbisError):
 
 class PrerollPacketError(VorbisError):
     """Could not read the preroll packet required to re-prime lapping state."""
+
+
+class NotSeekableError(VorbisError):
+    """The operation (seek, total_samples on a long stream) needs a seekable
+    source; on forward-only streams evicted pages cannot be re-read
+    (reference: forward-only providers do not implement seeking)."""

@@ -22,7 +22,7 @@ import bisect
 from dataclasses import dataclass
 from typing import NamedTuple
 
-from ..errors import InvalidDataError, SeekOutOfRangeError
+from ..errors import InvalidDataError, NotSeekableError, SeekOutOfRangeError
 from .page import Page
 
 
@@ -59,10 +59,17 @@ class GranuleTable:
     packet_idx: list[int]
     start: list[int]
     end: list[int]
+    blocksize: list[int]  # 0 == undecodable packet (cannot prime lapping)
+    count: list[int]  # samples the packet emits (gap-free, decoder order)
 
     @property
     def total(self) -> int:
         return (self.end[-1] - self.start[0]) if self.end else 0
+
+    @property
+    def emitted_total(self) -> int:
+        """Samples a full sequential decode emits (excludes granule gaps)."""
+        return sum(self.count)
 
 
 class LogicalStream:
@@ -149,6 +156,11 @@ class LogicalStream:
             raise IndexError(idx)
         pg = self._payloads.get(idx)
         if pg is None:
+            if not self._container.seekable:
+                raise NotSeekableError(
+                    "page payload was consumed; seeking / granule counting "
+                    "on long forward-only streams needs a seekable source"
+                )
             meta = self.pages[idx]
             pg = self._container.scanner.read_page_at(meta.offset)
             if pg is None:
@@ -301,6 +313,7 @@ class PacketProvider:
         pages_i: list[int] = []
         packets_i: list[int] = []
         counts: list[int] = []
+        blocksizes: list[int] = []
         anchors: list[int] = []  # page end-granule where packet completes, else -1
         prev_n = 0  # 0 marks "no previous frame": first packet emits nothing
         pi, ki = first_data, 0
@@ -335,6 +348,7 @@ class PacketProvider:
                 pages_i.append(pi)
                 packets_i.append(ki)
                 counts.append(count)
+                blocksizes.append(n)
                 anchors.append(pkt.granule)
             ki += 1
         # Anchoring semantics (libvorbis-compatible, verified vs oracle):
@@ -367,7 +381,9 @@ class PacketProvider:
                     break
                 end[i] = min(end[i], final)
                 start[i] = min(start[i], final)
-        self._granule_table = GranuleTable(pages_i, packets_i, start, end)
+        self._granule_table = GranuleTable(
+            pages_i, packets_i, start, end, blocksizes, counts
+        )
         return self._granule_table
 
     def invalidate_granule_table(self) -> None:
@@ -401,7 +417,15 @@ class PacketProvider:
         if idx >= len(table.end):
             idx = len(table.end) - 1
         target_start = table.start[idx]
-        j = max(idx - preroll, 0)
+        # preroll must land on DECODABLE packets: an undecodable one cannot
+        # prime lapping, and the decoder would consume the target as the
+        # primer instead — shifting all returned audio
+        j = idx
+        needed = preroll
+        while j > 0 and needed > 0:
+            j -= 1
+            if table.blocksize[j] > 0:
+                needed -= 1
         self._page_cursor = table.page_idx[j]
         self._packet_cursor = table.packet_idx[j]
         self._pending_resync = False
@@ -445,7 +469,7 @@ class PacketProvider:
         entries = self._measure_page(pi, blocksize_of)
         if entries is None:
             return None
-        counts = [c for (_, _, c) in entries]
+        counts = [c for (_, _, c, _) in entries]
         end_granule = pages[pi].granule
         start0 = end_granule - sum(counts)
         if base is not None and start0 != base:
@@ -456,18 +480,27 @@ class PacketProvider:
         # locate the packet containing `granule` (table-path semantics:
         # first packet whose END granule exceeds the target)
         pos = start0
-        for k, (pg, pk, c) in enumerate(entries):
+        for k, (pg, pk, c, _n) in enumerate(entries):
             if granule < pos + c or k == len(entries) - 1:
                 target_start = pos
-                j = k - preroll
-                while j < 0:
-                    prev = self._prev_measurable(entries[0][0], blocksize_of)
-                    if prev is None:
-                        j = 0
-                        break
-                    entries = prev + entries
-                    j += len(prev)
-                pg, pk, _ = entries[max(j, 0)]
+                # step back over `preroll` DECODABLE packets (an undecodable
+                # packet cannot prime lapping; see the table path)
+                j = k
+                needed = preroll
+                while needed > 0:
+                    if j == 0:
+                        prev = self._prev_measurable(
+                            entries[0][0], blocksize_of
+                        )
+                        if prev is None:
+                            break
+                        entries = prev + entries
+                        j += len(prev)
+                        k += len(prev)
+                    j -= 1
+                    if entries[j][3] > 0:
+                        needed -= 1
+                pg, pk = entries[max(j, 0)][0], entries[max(j, 0)][1]
                 self._page_cursor = pg
                 self._packet_cursor = pk
                 self._pending_resync = False
@@ -511,7 +544,7 @@ class PacketProvider:
                 prev_n = n
             else:
                 count = 0
-            out.append((pg, pk, count))
+            out.append((pg, pk, count, n))
         return out
 
     def _last_start_before(self, pi: int):

@@ -83,6 +83,12 @@ class BookSpec:
         w.write(self.dims, 16)
         w.write(self.entries, 24)
         if self.ordered:
+            # the ordered coding cannot express skipped lengths (the parser
+            # increments cur_len by exactly 1 per run)
+            assert all(
+                b - a in (0, 1)
+                for a, b in zip(self.lengths, self.lengths[1:])
+            ), "ordered codebook lengths must be ascending without gaps"
             w.write(1, 1)
             w.write(self.lengths[0] - 1, 5)
             i = 0
@@ -466,7 +472,6 @@ def make_extreme_blocksize_stream(
     flags = [(k // 2) % 2 for k in range(n_packets)]
     packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
     granule = 0
-    prev_center = None
     for k in range(n_packets):
         bf = flags[k]
         n = bs1 if bf else bs0
