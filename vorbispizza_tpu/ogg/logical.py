@@ -240,12 +240,17 @@ class PacketProvider:
         (self._page_cursor, self._packet_cursor, self._pending_resync) = save
         return pkt
 
-    def _assemble(self, page_idx: int, packet_idx: int):
+    def _assemble(self, page_idx: int, packet_idx: int, head_only: int = 0):
         """Build the ``packet_idx``-th packet *starting* on ``page_idx``.
 
         Returns a Packet, None (stream truncated mid-packet), or _LOST (the
         packet's continuation was severed by a resync; reference drops these,
         PacketProvider.CreatePacket:427).
+
+        ``head_only=N``: only the first N payload bytes are materialized —
+        the granule table measures packets from their mode header alone
+        (reference FillPageEndGranuleCache reads headers, not payloads), so
+        whole-stream passes avoid copying every packet's bytes.
         """
         s = self._s
         page = s.get_page(page_idx)
@@ -254,7 +259,12 @@ class PacketProvider:
         if slice_idx >= meta.n_slices:
             return None
         start, length = page.packet_slices[slice_idx]
-        parts = [page.payload[start : start + length]]
+        if head_only and length > head_only:
+            parts = [page.payload[start : start + head_only]]
+            have = head_only
+        else:
+            parts = [page.payload[start : start + length]]
+            have = length
         end_page_idx = page_idx
         end_slice_idx = slice_idx
         cur_meta = meta
@@ -267,9 +277,17 @@ class PacketProvider:
             nxt_meta = s.pages[nxt_idx]
             if not nxt_meta.continues_packet or nxt_meta.is_resync:
                 return _LOST
+            if head_only and have >= head_only:
+                # metadata-only walk: the remaining parts are not needed
+                end_page_idx, end_slice_idx = nxt_idx, 0
+                cur_meta = nxt_meta
+                continue
             nxt_page = s.get_page(nxt_idx)
             st, ln = nxt_page.packet_slices[0]
+            if head_only and have + ln > head_only:
+                ln = head_only - have
             parts.append(nxt_page.payload[st : st + ln])
+            have += ln
             end_page_idx, end_slice_idx = nxt_idx, 0
             cur_meta = nxt_meta
 
@@ -329,7 +347,7 @@ class PacketProvider:
                 pi += 1
                 ki = 0
                 continue
-            pkt = self._assemble(pi, ki)
+            pkt = self._assemble(pi, ki, head_only=8)
             if pkt is None:
                 break
             if pkt is _LOST:
