@@ -239,6 +239,14 @@ class BatchSynthesizer:
             raise OlaUnsupported("frame supports not ascending")
         if n_frames >= 3 and not np.all(ends_eff[:-2] <= offsets_eff[2:]):
             raise OlaUnsupported("three frames overlap one sample")
+        # every kept sample must be covered (the device gather cannot raise;
+        # a hole would decode as silent zeros instead of a loud fallback)
+        for chain in plan.chains:
+            ch = np.asarray(chain, dtype=np.int64)
+            if len(ch) >= 2 and not np.all(
+                offsets_eff[ch][1:] <= ends_eff[ch][:-1]
+            ):
+                raise OlaUnsupported("output sample not covered by any frame")
         return (
             offsets_eff.astype(np.int32),
             ends_eff.astype(np.int32),
@@ -392,7 +400,7 @@ class BatchSynthesizer:
                 b_valid = (a > 0) & (pos < jnp.take(ends, b))
                 a_idx = jnp.take(fbase_off, a) + pos
                 b_idx = jnp.take(fbase_off, b) + pos
-                pcm = gather_assemble(flat, a_idx, b_idx, b_valid, a_valid)
+                pcm = gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
             if output == "s16":
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)

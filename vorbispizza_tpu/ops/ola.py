@@ -32,10 +32,14 @@ class OlaUnsupported(BatchUnsupported):
     the batch pipeline need a single fallback exception."""
 
 
-def gather_assemble(flat, a_idx, b_idx, b_valid, a_valid):
-    """Device side: pcm[c, i] = flat[c, a_idx[i]]*a_valid + flat[c, b_idx[i]]*b_valid."""
-    a = jnp.take(flat, a_idx, axis=1) * a_valid
-    b = jnp.take(flat, b_idx, axis=1) * b_valid
+def gather_assemble(flat, a_idx, a_valid, b_idx, b_valid):
+    """Device side: pcm[c, i] = flat[c, a_idx[i]]*a_valid + flat[c, b_idx[i]]*b_valid.
+
+    Out-of-bounds indices (possible on masked/padding positions) gather 0
+    explicitly — the default NaN fill would rely on the mask multiply
+    lowering to a select."""
+    a = jnp.take(flat, a_idx, axis=1, mode="fill", fill_value=0.0) * a_valid
+    b = jnp.take(flat, b_idx, axis=1, mode="fill", fill_value=0.0) * b_valid
     return a + b
 
 

@@ -17,8 +17,6 @@ mixed-blocksize stream routes through models/pipeline.py per shard instead.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +26,7 @@ from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor1_curves
 from ..ops.imdct import imdct_window_batch
 
-CLIP_MAX = 0.99999994
+from ..decoder import CLIP_MAX
 
 
 def make_mesh(n_devices: int | None = None, *, streams: int | None = None) -> Mesh:
@@ -36,10 +34,18 @@ def make_mesh(n_devices: int | None = None, *, streams: int | None = None) -> Me
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            f"requested {n_devices} devices, only {len(devs)} available"
+        )
     devs = devs[:n_devices]
     if streams is None:
         # favor the frame axis (long single streams are the hard case)
         streams = 2 if (n_devices % 2 == 0 and n_devices >= 4) else 1
+    if n_devices % streams != 0:
+        raise ValueError(
+            f"streams={streams} must divide n_devices={n_devices}"
+        )
     frames = n_devices // streams
     return Mesh(
         np.array(devs).reshape(streams, frames), axis_names=("stream", "frame")
