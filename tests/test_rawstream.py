@@ -408,3 +408,29 @@ def test_forward_only_long_stream_raises_not_seekable():
     r.read_samples(44100 * 28)  # move well past the payload cache window
     with pytest.raises(NotSeekableError):
         _ = r.total_samples
+
+
+def test_forward_only_seek_raises_typed_error():
+    from vorbispizza_tpu.errors import NotSeekableError, VorbisError
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(make_signal(2, 30.0, kind="noise", seed=8), quality=1.0)
+
+    class Fwd:
+        def __init__(self, b):
+            self._b = b
+            self._p = 0
+
+        def read(self, n=-1):
+            out = self._b[self._p : self._p + n if n >= 0 else None]
+            self._p += len(out)
+            return out
+
+        def seekable(self):
+            return False
+
+    r = VorbisReader(Fwd(data))
+    r.initialize()
+    r.read_samples(44100 * 28)
+    with pytest.raises(VorbisError):  # NotSeekableError or SeekOutOfRange
+        r.seek_to(1000)

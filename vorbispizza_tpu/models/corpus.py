@@ -309,6 +309,13 @@ def decode_corpus(
                 for i in chunk:
                     outs[i] = _scalar_fallback(sources[i], output, clip_samples)
                 continue
+            if output != "device":
+                # start the device->host copy now so it overlaps later
+                # chunks' execution instead of serializing at the end
+                try:
+                    merged_out.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
             pending.append((chunk, pcm_lengths, merged_out))
         for chunk, pcm_lengths, merged_out in pending:
             if output == "device":
