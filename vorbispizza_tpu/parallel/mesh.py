@@ -77,7 +77,11 @@ def sharded_decode_step(
     """
     half = n // 2
     P_posts = len(xs)
-    window_f32 = jnp.asarray(np.asarray(window, dtype=np.float32))
+    # kept as numpy: an eager jnp.asarray here would device_put onto the
+    # DEFAULT backend (e.g. an ambient TPU) even when the mesh is CPU-only;
+    # converting inside the traced function bakes it in as a constant on
+    # whatever devices the jit actually targets.
+    window_np = np.asarray(window, dtype=np.float32)
     axis = "frame"
 
     def local_step(residues, posts, step2, used):
@@ -94,7 +98,7 @@ def sharded_decode_step(
             residues.reshape(S * F, C, half), coupling_steps
         ).reshape(S, F, C, half)
         spectra = res * curves
-        frames = imdct_window_batch(spectra, window_f32)  # [S, F, C, n]
+        frames = imdct_window_batch(spectra, jnp.asarray(window_np))  # [S, F, C, n]
 
         # halo: left neighbor's last frame laps into our first output hop
         sz = jax.lax.psum(1, axis)
