@@ -122,3 +122,27 @@ def test_decode_corpus_multi_device(small_corpus):
     )
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_corpus_front_end_batch_unsupported_falls_back(small_corpus, monkeypatch):
+    """A stream the batch planner rejects at FRONT-END time (BatchUnsupported
+    from build_plan, e.g. overlapping granule cuts on trimmed input) must
+    fall back to the exact scalar decode instead of aborting the corpus."""
+    import vorbispizza_tpu.models.corpus as corpus_mod
+    from vorbispizza_tpu.frames import BatchUnsupported
+
+    real = corpus_mod._front_end
+    bad = small_corpus[1]
+
+    def flaky_front_end(source):
+        if source is bad:
+            raise BatchUnsupported("injected: plan-time rejection")
+        return real(source)
+
+    monkeypatch.setattr(corpus_mod, "_front_end", flaky_front_end)
+    for batched in (True, False):
+        outs = decode_corpus(small_corpus, batched=batched)
+        for data, got in zip(small_corpus, outs):
+            ref = scalar_decode(data)
+            assert got.shape == ref.shape
+            assert np.abs(got - ref).max() <= 2e-6

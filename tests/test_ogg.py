@@ -180,3 +180,50 @@ def test_invalidate_granule_table(testfile1):
     pr.invalidate_granule_table()
     t2 = pr.build_granule_table(d.get_packet_blocksize)
     assert t1 is not t2 and t1.end == t2.end
+
+
+def test_bisect_seek_cursor_matches_table_on_continued_packets():
+    """The bisection seek must land the packet cursor on exactly the same
+    (page, packet) as the exact-table seek — including when the target (or
+    its preroll) is a packet continued from an earlier page, where a naive
+    preroll walk skips all packets completing on the start page and decodes
+    up to a full extra page (reference SeekTo preroll is minimal,
+    PacketProvider.cs:56-88)."""
+    import io
+
+    from vorbispizza_tpu.decoder import StreamDecoder
+    from vorbispizza_tpu.ogg.container import OggContainer
+    from vorbispizza_tpu.testing.rawstream import make_extreme_blocksize_stream
+
+    # pad packets past the libogg page capacity so packets span pages
+    data = make_extreme_blocksize_stream(n_packets=12, pad_to=70000)
+
+    def fresh():
+        c = OggContainer(io.BytesIO(data))
+        assert c.try_init()
+        pr = c.providers[0]
+        d = StreamDecoder(pr)
+        d.initialize()
+        return pr, d
+
+    pr0, d0 = fresh()
+    pr0._s.ensure_all_pages()
+    assert any(p.continues_packet for p in pr0._s.pages), "fixture is paged"
+    table = pr0.build_granule_table(d0.get_packet_blocksize)
+    total = table.end[-1]
+
+    bisected = 0
+    for g in range(0, total, 997):
+        pr_b, d_b = fresh()
+        start_b = pr_b.seek_to_granule(g, 1, d_b.get_packet_blocksize)
+        if pr_b._granule_table is None:
+            bisected += 1  # fast path actually taken (no table fallback)
+        pr_t, d_t = fresh()
+        pr_t.build_granule_table(d_t.get_packet_blocksize)
+        start_t = pr_t.seek_to_granule(g, 1, d_t.get_packet_blocksize)
+        assert start_b == start_t, g
+        assert (pr_b._page_cursor, pr_b._packet_cursor) == (
+            pr_t._page_cursor,
+            pr_t._packet_cursor,
+        ), g
+    assert bisected > 0

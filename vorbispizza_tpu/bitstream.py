@@ -64,10 +64,23 @@ class BitReader:
         return self.read_bits(8)
 
     def read_bytes(self, count: int) -> bytes:
-        out = bytearray(count)
-        for i in range(count):
-            out[i] = self.read_bits(8)
-        return bytes(out)
+        """Bulk byte read (vendor strings, comments): one slice when the
+        cursor is byte-aligned, one big-int shift otherwise — no per-byte
+        Python loop. Past-end bytes read as 0 and set ``overrun``."""
+        if count <= 0:
+            return b""
+        byte_pos = self.pos >> 3
+        bit_off = self.pos & 7
+        if bit_off == 0:
+            chunk = self.data[byte_pos : byte_pos + count]
+        else:
+            raw = self.data[byte_pos : byte_pos + count + 1]
+            v = int.from_bytes(raw, "little") >> bit_off
+            chunk = v.to_bytes(count + 1, "little")[:count]
+        self.skip_bits(8 * count)
+        if len(chunk) < count:
+            chunk = chunk + b"\x00" * (count - len(chunk))
+        return bytes(chunk)
 
     def read_u16(self) -> int:
         return self.read_bits(16)

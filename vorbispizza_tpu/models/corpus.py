@@ -254,13 +254,28 @@ def decode_corpus(
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
         return pcm
 
+    def front_end_or_none(source):
+        # plan building can itself reject a stream (e.g. a granule cut past
+        # an earlier cut on trimmed/malformed input); that stream must fall
+        # back to the scalar path, not abort the whole corpus
+        try:
+            return _front_end(source)
+        except BatchUnsupported:
+            return None
+
     outs = [None] * len(sources)
     with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
-        fronts = list(pool.map(_front_end, sources))
+        fronts = list(pool.map(front_end_or_none, sources))
+    for i, front in enumerate(fronts):
+        if front is None:
+            outs[i] = _scalar_fallback(sources[i], output, clip_samples)
 
     if not batched:
         synths: dict[int, BatchSynthesizer] = {}
-        for i, (setup, channels, plan, buckets) in enumerate(fronts):
+        for i, front in enumerate(fronts):
+            if front is None:
+                continue
+            setup, channels, plan, buckets = front
             synth = synths.setdefault(
                 id(setup), BatchSynthesizer(setup, channels)
             )
@@ -272,7 +287,10 @@ def decode_corpus(
 
     # group by (setup identity, channels); one fused execution per group
     groups: dict = {}
-    for i, (setup, channels, plan, buckets) in enumerate(fronts):
+    for i, front in enumerate(fronts):
+        if front is None:
+            continue
+        setup, channels, plan, buckets = front
         groups.setdefault((id(setup), channels), []).append(i)
     synths = {}
     for (sid, channels), idxs in groups.items():

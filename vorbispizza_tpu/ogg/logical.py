@@ -505,13 +505,26 @@ class PacketProvider:
                 # packet cannot prime lapping; see the table path)
                 j = k
                 needed = preroll
+                head_page = pi  # page whose measurement produced entries[0]
                 while needed > 0:
                     if j == 0:
-                        prev = self._prev_measurable(
-                            entries[0][0], blocksize_of
-                        )
+                        start_pg = entries[0][0]
+                        prev = None
+                        if start_pg < head_page:
+                            # entries[0] is continued from an earlier page:
+                            # the packets COMPLETING on its start page come
+                            # next in the walk, not the page before it —
+                            # otherwise the cursor lands up to a page early
+                            # (extra silent preroll decode)
+                            prev = self._measure_page(start_pg, blocksize_of)
+                            prev_page = start_pg
+                        if prev is None:
+                            prev_page, prev = self._prev_measurable(
+                                min(start_pg, head_page), blocksize_of
+                            )
                         if prev is None:
                             break
+                        head_page = prev_page
                         entries = prev + entries
                         j += len(prev)
                         k += len(prev)
@@ -582,7 +595,8 @@ class PacketProvider:
         return self._last_start_before(pg)
 
     def _prev_measurable(self, pi: int, blocksize_of):
-        """Measurement entries for the page before ``pi`` (preroll walk)."""
+        """(page_idx, measurement entries) for the page before ``pi``
+        (preroll walk), or (None, None)."""
         qi = pi - 1
         first_data = self._s.first_data_page or 0
         while qi >= first_data:
@@ -590,9 +604,9 @@ class PacketProvider:
                 self._s.pages[qi].n_starts > 0
                 or self._s.pages[qi].continues_packet
             ):
-                return self._measure_page(qi, blocksize_of)
+                return qi, self._measure_page(qi, blocksize_of)
             qi -= 1
-        return None
+        return None, None
 
     def get_granule_count(self, blocksize_of) -> int:
         return self.build_granule_table(blocksize_of).total

@@ -8,6 +8,7 @@ streams (GetInvalidStreamException:88-121). Spec sections 4.2.1-4.2.4.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from ..bitstream import BitReader
@@ -119,21 +120,33 @@ class SetupHeader:
 
 _SETUP_CACHE: dict = {}
 _SETUP_CACHE_MAX = 64
+_SETUP_CACHE_LOCK = threading.Lock()
 
 
 def parse_setup_cached(data: bytes, ident: IdentHeader) -> SetupHeader:
     """Content-addressed setup parse: corpus files produced by the same
     encoder settings share byte-identical setup headers, so the expensive
     codebook/Huffman construction amortizes across streams. SetupHeader is
-    immutable after construction, so sharing is safe."""
+    immutable after construction, so sharing is safe.
+
+    Thread-safe: decode_corpus parses headers from a thread pool, and the
+    shared-BatchSynthesizer grouping keys on setup identity — a racy
+    duplicate parse or a mid-corpus eviction of a live entry would split
+    one encoder setting into several compiled-program groups. The lock plus
+    single-entry FIFO eviction keeps identities stable."""
     key = (hash(data), ident.channels, ident.blocksizes)
-    hit = _SETUP_CACHE.get(key)
-    if hit is not None and hit[0] == data:
-        return hit[1]
-    setup = parse_setup(data, ident)
-    if len(_SETUP_CACHE) >= _SETUP_CACHE_MAX:
-        _SETUP_CACHE.clear()
-    _SETUP_CACHE[key] = (data, setup)
+    with _SETUP_CACHE_LOCK:
+        hit = _SETUP_CACHE.get(key)
+        if hit is not None and hit[0] == data:
+            return hit[1]
+    setup = parse_setup(data, ident)  # expensive; outside the lock
+    with _SETUP_CACHE_LOCK:
+        hit = _SETUP_CACHE.get(key)
+        if hit is not None and hit[0] == data:
+            return hit[1]  # another thread won the race: share its object
+        if len(_SETUP_CACHE) >= _SETUP_CACHE_MAX:
+            _SETUP_CACHE.pop(next(iter(_SETUP_CACHE)))  # oldest insertion
+        _SETUP_CACHE[key] = (data, setup)
     return setup
 
 

@@ -426,10 +426,15 @@ def make_floor0_stream(n_packets: int = 40, rate: int = 8000, seed: int = 0):
 
 
 def make_extreme_blocksize_stream(
-    n_packets: int = 30, rate: int = 44100, seed: int = 1
+    n_packets: int = 30, rate: int = 44100, seed: int = 1, pad_to: int = 0
 ):
     """Mono floor1 + residue type 1 stream with 64/8192 block switching —
-    the full spec blocksize range in one stream."""
+    the full spec blocksize range in one stream.
+
+    ``pad_to``: zero-pad each audio packet to at least this many bytes
+    (trailing bytes are never read by decode); large values force packets
+    to span page boundaries (continued packets), the libnogg "split
+    packet" / seek-on-continued-packet shapes."""
     rng = np.random.default_rng(seed)
     bs0, bs1 = 64, 8192
 
@@ -502,7 +507,10 @@ def make_extreme_blocksize_stream(
         if k > 0:
             granule += (prev_n + n) // 4
         prev_n = n
-        packets.append((w.bytes(), granule))
+        body = w.bytes()
+        if pad_to > len(body):
+            body += b"\x00" * (pad_to - len(body))
+        packets.append((body, granule))
     return page_stream(packets)
 
 
