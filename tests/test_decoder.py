@@ -143,3 +143,27 @@ def test_time_seek_and_position(testfiles):
         assert r.sample_position == r.sample_rate
         assert abs(r.time_position - 1.0) < 1e-9
         assert r.total_time == r.total_samples / r.sample_rate
+
+
+def test_stats_container_waste_attribution(testfiles):
+    """Per-stream container/waste bit accounting (reference
+    StreamStats.AddPacket:94-122 fed by VorbisPacket.ContainerOverheadBits):
+    after a full decode, every page's header bits are attributed to exactly
+    one packet of the stream, so the per-stream total equals the
+    container-wide count; waste = trailing bits never consumed."""
+    for path in testfiles:
+        with VorbisReader(str(path)) as r:
+            r.read_all()
+            st = r.stats
+            assert st.container_bits > 0, path.name
+            assert st.container_bits == r.container_overhead_bits, path.name
+            assert st.waste_bits >= 0
+            assert st.audio_bits > 0
+            # effective bitrate now includes framing overhead: strictly
+            # greater than the audio-bits-only rate (reference definition)
+            audio_only = int(
+                (st.audio_bits + st.header_bits)
+                / st.total_samples
+                * st.sample_rate
+            )
+            assert st.effective_bit_rate > audio_only

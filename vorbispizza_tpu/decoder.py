@@ -80,6 +80,7 @@ class StreamDecoder:
         self._ident = parse_ident(pkt.data)
         self._stats.sample_rate = self._ident.sample_rate
         self._stats.header_bits += 8 * len(pkt.data)
+        self._stats.container_bits += pkt.container_bits
 
         pkt = self._provider.get_next_packet()
         if pkt is None:
@@ -92,12 +93,14 @@ class StreamDecoder:
             ch = parse_comments(pkt.data)
             self._tags = TagData(ch.vendor, ch.comments)
         self._stats.header_bits += 8 * len(pkt.data)
+        self._stats.container_bits += pkt.container_bits
 
         pkt = self._provider.get_next_packet()
         if pkt is None:
             raise InvalidDataError("missing setup header")
         self._setup = parse_setup_cached(pkt.data, self._ident)
         self._stats.header_bits += 8 * len(pkt.data)
+        self._stats.container_bits += pkt.container_bits
         # audio begins on the page after the one the setup packet started on
         s = self._provider._s
         s.first_data_page = pkt.page_index + (
@@ -180,6 +183,16 @@ class StreamDecoder:
 
     # -- packet decode ----------------------------------------------------------------
 
+    def _record_bad_packet(self, packet: Packet) -> None:
+        """Stats for an undecodable packet: every bit is waste (reference
+        ReadNextPacket:650 records the failed decode's bits)."""
+        self._stats.add_packet(
+            samples=0,
+            audio_bits=0,
+            waste_bits=8 * len(packet.data),
+            container_bits=packet.container_bits,
+        )
+
     def _decode_packet(self, packet: Packet):
         """Full spectral decode + synthesis of one packet.
 
@@ -187,6 +200,7 @@ class StreamDecoder:
         packets (reference DecodeNextPacket:696)."""
         br = BitReader(packet.data)
         if not packet.data or br.read_bit():
+            self._record_bad_packet(packet)
             return None
         setup = self._setup
         mode_idx = br.read_bits(setup.mode_bits)
@@ -195,6 +209,7 @@ class StreamDecoder:
         mode = setup.modes[mode_idx]
         prev_flag, next_flag = mode.read_window_flags(br)
         if br.overrun:
+            self._record_bad_packet(packet)
             return None
         info = mode.window_info(prev_flag, next_flag)
         mapping = setup.mappings[mode.mapping_idx]
@@ -210,11 +225,13 @@ class StreamDecoder:
             spectra[c] = frame.residues[c] * curve
         time = imdct(spectra, mode.n)
         time *= window_for(info)[None, :]
+        # reference ReadNextPacket:686 — audio = bits actually consumed,
+        # waste = trailing bits never read, container = Ogg framing share
         self._stats.add_packet(
             samples=info.sample_count,
-            audio_bits=8 * len(packet.data),
-            waste_bits=0,
-            container_bits=0,
+            audio_bits=br.bits_read,
+            waste_bits=br.bits_remaining,
+            container_bits=packet.container_bits,
         )
         return time, info
 

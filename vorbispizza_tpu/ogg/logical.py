@@ -36,6 +36,11 @@ class Packet(NamedTuple):
     is_end_of_stream: bool
     page_index: int  # page the packet starts on
     packet_index: int  # index among packets starting on that page
+    # Ogg framing bits attributed to this packet: its start page's header if
+    # it is the first packet beginning there, plus every continuation page's
+    # header it spans (reference VorbisPacket.ContainerOverheadBits,
+    # PacketProvider.CreatePacket:427-512). Each page is charged exactly once.
+    container_bits: int = 0
 
 
 @dataclass
@@ -49,6 +54,7 @@ class _PageMeta:
     continues_packet: bool
     last_incomplete: bool
     is_resync: bool
+    overhead: int = 0  # header bytes (capture..segment table) of this page
 
 
 @dataclass
@@ -121,6 +127,7 @@ class LogicalStream:
                 continues_packet=page.continues_packet,
                 last_incomplete=page.last_incomplete,
                 is_resync=is_resync,
+                overhead=page.page_size - len(page.payload),
             )
         )
         self._cache_payload(idx, page)
@@ -230,7 +237,8 @@ class PacketProvider:
                 return None  # truncated at end of stream
             if self._pending_resync:
                 pkt = Packet(pkt.data, pkt.granule, True, pkt.is_end_of_stream,
-                             pkt.page_index, pkt.packet_index)
+                             pkt.page_index, pkt.packet_index,
+                             pkt.container_bits)
             self._pending_resync = False
             return pkt
 
@@ -258,6 +266,14 @@ class PacketProvider:
         slice_idx = packet_idx + (1 if meta.continues_packet else 0)
         if slice_idx >= meta.n_slices:
             return None
+        # container attribution: the first packet BEGINNING on a page carries
+        # its header; a page opening with a continuation tail was already
+        # charged to the spanning packet (see the walk below)
+        overhead = (
+            meta.overhead
+            if packet_idx == 0 and not meta.continues_packet
+            else 0
+        )
         start, length = page.packet_slices[slice_idx]
         if head_only and length > head_only:
             parts = [page.payload[start : start + head_only]]
@@ -277,6 +293,7 @@ class PacketProvider:
             nxt_meta = s.pages[nxt_idx]
             if not nxt_meta.continues_packet or nxt_meta.is_resync:
                 return _LOST
+            overhead += nxt_meta.overhead
             if head_only and have >= head_only:
                 # metadata-only walk: the remaining parts are not needed
                 end_page_idx, end_slice_idx = nxt_idx, 0
@@ -304,6 +321,7 @@ class PacketProvider:
             is_end_of_stream=is_eos,
             page_index=page_idx,
             packet_index=packet_idx,
+            container_bits=8 * overhead,
         )
 
     def get_packet_at(self, page_idx: int, packet_idx: int) -> Packet | None:
