@@ -46,3 +46,30 @@ def test_accelerated_metadata(testfile1):
     assert a.channels == 1 and a.sample_rate == 44100
     assert a.total_samples == 17318
     assert a.tags is not None and a.stats is not None
+
+
+def test_accelerated_seek_gap_stream_matches_scalar(testfiles):
+    """Granule-space seeking on a resync/gap stream (reference
+    StreamDecoder.SeekTo:817 seeks granules; the accelerated buffer is
+    gap-free): after corrupting a mid-stream page, seeks PAST the gap must
+    return the same PCM from both decoders."""
+    path = [p for p in testfiles if p.stem == "3test"][0]
+    raw = bytearray(path.read_bytes())
+    raw[60000] ^= 0xFF  # CRC-kill one audio page -> sequence gap + resync
+    data = bytes(raw)
+
+    r = VorbisReader(data)
+    r.initialize()
+    a = VorbisReader(data, accelerated=True)
+    a.initialize()
+    total = r.total_samples
+    assert a.total_samples == total
+
+    for pos in (0, 1000, total // 2, total - 4096):
+        r.seek_to(pos)
+        want = r.read_samples(1024, planar=True)
+        a.seek_to(pos)
+        got = a.read_samples(1024, planar=True)
+        assert got.shape == want.shape, pos
+        assert np.abs(got - want).max() <= 2e-6, pos
+        assert a.sample_position == r.sample_position, pos

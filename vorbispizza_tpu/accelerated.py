@@ -11,6 +11,8 @@ shapes the batch planner does not model.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 from .decoder import CLIP_MAX, StreamDecoder
@@ -106,11 +108,92 @@ class AcceleratedStreamDecoder:
         if sample_position < 0 or sample_position > total:
             raise SeekOutOfRangeError(str(sample_position))
         pcm = self._ensure_decoded()
-        # NOTE: positions index the gap-free PCM buffer. On corrupted
-        # streams with granule gaps these differ from granule positions
-        # (the streaming decoder's seek space) past the gap; the clamp keeps
-        # reads well-defined there.
-        self._cursor = min(int(sample_position), pcm.shape[1])
+        self._cursor = min(self._granule_to_index(sample_position), pcm.shape[1])
+
+    # -- granule <-> PCM-buffer index -------------------------------------------------
+    #
+    # Positions in the streaming API are GRANULE space (reference
+    # StreamDecoder.SeekTo:817); the batch-decoded buffer is gap-free
+    # EMITTED space. On resync/gap streams granules jump forward while the
+    # buffer stays contiguous, so seeks map through the granule table:
+    # packet idx containing the target, then cumulative emitted counts +
+    # in-packet roll-forward — exactly the scalar decoder's
+    # position-at-target-start + skip semantics.
+
+    def _granule_map(self):
+        """(table, D, next_anchor): D = cumulative DELIVERED samples per
+        packet — raw emission counts minus the end-trims/cuts the streaming
+        decoder applies at each page anchor (granule budget per anchored
+        span, excess dropped from the span's tail; resync spans never cut,
+        decoder._next_block)."""
+        if getattr(self, "_gmap", None) is None:
+            table = self._provider.build_granule_table(
+                self._dec.get_packet_blocksize
+            )
+            n = len(table.count)
+            d = list(table.count)
+            prev_anchor = None
+            s = 0
+            span_sum = 0
+            for j in range(n):
+                span_sum += table.count[j]
+                if table.anchor[j] < 0:
+                    continue
+                if prev_anchor is None:
+                    budget = table.anchor[j] - (table.start[0] if table.start else 0)
+                else:
+                    budget = table.anchor[j] - prev_anchor
+                has_resync = any(
+                    table.count[i] == 0 and table.blocksize[i] > 0 and i > 0
+                    for i in range(s, j + 1)
+                )
+                overflow = 0 if has_resync else max(0, span_sum - max(budget, 0))
+                i = j
+                while overflow > 0 and i >= s:
+                    drop = min(d[i], overflow)
+                    d[i] -= drop
+                    overflow -= drop
+                    i -= 1
+                prev_anchor = table.anchor[j]
+                s = j + 1
+                span_sum = 0
+            D = [0]
+            for c in d:
+                D.append(D[-1] + c)
+            # next_anchor[i] = first packet >= i completing an anchored page
+            # (the packet whose commit snaps the streaming decoder's position)
+            next_anchor = [n] * (n + 1)
+            for i in range(n - 1, -1, -1):
+                next_anchor[i] = i if table.anchor[i] >= 0 else next_anchor[i + 1]
+            self._gmap = (table, D, next_anchor)
+        return self._gmap
+
+    def _granule_to_index(self, sample_position: int) -> int:
+        table, D, _ = self._granule_map()
+        if not table.end:
+            return 0
+        g = sample_position + table.start[0]
+        idx = bisect.bisect_right(table.end, g)
+        if idx >= len(table.end):
+            idx = len(table.end) - 1
+        return D[idx] + max(0, g - table.start[idx])
+
+    def _index_to_granule(self, index: int) -> int:
+        table, D, next_anchor = self._granule_map()
+        n = len(table.count)
+        if not table.end:
+            return index
+        idx = bisect.bisect_right(D, index) - 1
+        if idx >= n:
+            idx = n - 1
+        # the streaming decoder commits blocks at page granule anchors and
+        # counts pending samples back from them, so a sample's position is
+        # (next anchor) - (samples delivered from here through that anchor);
+        # gaps before the anchor shift the whole region forward
+        j = next_anchor[idx]
+        if j >= n:
+            return table.start[idx] + (index - D[idx]) - table.start[0]
+        return table.anchor[j] - (D[j + 1] - index) - table.start[0]
 
     # -- delegated metadata ----------------------------------------------------------
 
@@ -158,7 +241,11 @@ class AcceleratedStreamDecoder:
 
     @property
     def sample_position(self) -> int:
-        return self._cursor
+        # granule space (scalar-decoder parity); identical to the buffer
+        # cursor except past gaps on resync streams
+        if self._pcm is None:
+            return self._cursor
+        return self._index_to_granule(self._cursor)
 
     @property
     def is_end_of_stream(self) -> bool:

@@ -67,6 +67,7 @@ class GranuleTable:
     end: list[int]
     blocksize: list[int]  # 0 == undecodable packet (cannot prime lapping)
     count: list[int]  # samples the packet emits (gap-free, decoder order)
+    anchor: list[int]  # raw page end-granule where the packet completes, else -1
 
     @property
     def total(self) -> int:
@@ -418,7 +419,7 @@ class PacketProvider:
                 end[i] = min(end[i], final)
                 start[i] = min(start[i], final)
         self._granule_table = GranuleTable(
-            pages_i, packets_i, start, end, blocksizes, counts
+            pages_i, packets_i, start, end, blocksizes, counts, anchors
         )
         return self._granule_table
 
