@@ -1,0 +1,137 @@
+"""libnogg-style page-level anomaly vectors vs the native libvorbis oracle
+(reference NVorbis.Tests/OggTests.cs:9-64: long-first-packet, empty page,
+partial granule position, bad continued-packet flag)."""
+
+import numpy as np
+import pytest
+
+from vorbispizza_tpu.reader import VorbisReader
+from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+from vorbispizza_tpu.testing.pagecraft import (
+    make_bad_continued_flag,
+    make_empty_page,
+    make_long_first_packet,
+    make_partial_granule,
+    _reframe,
+)
+
+
+@pytest.fixture(scope="module")
+def base_stream():
+    sig = make_signal(2, 1.2, kind="music", seed=7)
+    return encode_vorbis(sig, quality=0.3)
+
+
+def s16(x):
+    return np.clip(
+        np.rint(np.asarray(x, dtype=np.float64) * 32768.0), -32768, 32767
+    )
+
+
+def oracle(data: bytes, tmp_path, name):
+    from vorbispizza_tpu.testing.oracle import OracleDecoder
+
+    p = tmp_path / name
+    p.write_bytes(data)
+    return OracleDecoder(str(p)).read_float()
+
+
+def ours(data: bytes, accelerated=False):
+    r = VorbisReader(data, accelerated=accelerated)
+    r.initialize()
+    return r.read_all(planar=True)
+
+
+def check_vs_oracle(data, tmp_path, name, budget_frac=0.0):
+    nat = oracle(data, tmp_path, name)
+    got = ours(data)
+    assert got.shape == nat.shape, (got.shape, nat.shape)
+    diff = np.abs(s16(got) - s16(nat))
+    assert (diff > 2).mean() <= budget_frac, name
+    # the batch/accelerated path must agree with our scalar on these shapes
+    acc = ours(data, accelerated=True)
+    assert acc.shape == got.shape
+    assert np.abs(acc - got).max() <= 2e-6, name
+
+
+def _page_meta(data):
+    import io
+
+    from vorbispizza_tpu.ogg.container import OggContainer
+
+    c = OggContainer(io.BytesIO(data))
+    assert c.try_init()
+    pr = c.providers[0]
+    pr._s.ensure_all_pages()
+    return pr._s.pages
+
+
+def _count_packets(data):
+    import io
+
+    from vorbispizza_tpu.ogg.container import OggContainer
+
+    c = OggContainer(io.BytesIO(data))
+    assert c.try_init()
+    pr = c.providers[0]
+    n = 0
+    while pr.get_next_packet() is not None:
+        n += 1
+    return n
+
+
+def test_reframe_identity(base_stream, tmp_path):
+    """The hand framer itself must be transparent: re-paged healthy stream
+    decodes identically through native libvorbis."""
+    check_vs_oracle(_reframe(base_stream), tmp_path, "reframed.ogg")
+
+
+def test_long_first_packet(base_stream, tmp_path):
+    data = make_long_first_packet(base_stream)
+    pages = _page_meta(data)
+    assert any(p.continues_packet for p in pages), "first packet must span"
+    check_vs_oracle(data, tmp_path, "long-first.ogg")
+
+
+def test_empty_page_mid_stream(base_stream, tmp_path):
+    data = make_empty_page(base_stream)
+    pages = _page_meta(data)
+    assert any(p.n_slices == 0 for p in pages[3:]), "needs an empty page"
+    check_vs_oracle(data, tmp_path, "empty-page.ogg")
+
+
+def test_partial_granule_position(base_stream, tmp_path):
+    data = make_partial_granule(base_stream)
+    pages = _page_meta(data)
+    assert any(
+        p.granule < 0 and p.n_slices > 0 for p in pages[3:]
+    ), "needs a granule-less data page"
+    check_vs_oracle(data, tmp_path, "partial-granule.ogg")
+
+
+def test_bad_continued_packet_flag(base_stream, tmp_path):
+    """libvorbis silently drops the orphan continued data; so do we
+    (reference OggTests.cs:23-31, budget 0)."""
+    data = make_bad_continued_flag(base_stream)
+    # exactly one packet must be swallowed by the bogus continuation flag
+    assert _count_packets(data) == _count_packets(base_stream) - 1
+    check_vs_oracle(data, tmp_path, "bad-continued.ogg")
+
+
+def test_pagecraft_seek_parity(base_stream):
+    """Seeking must agree between scalar and accelerated decoders on the
+    anomaly vectors too (granule-space map)."""
+    for make in (make_partial_granule, make_bad_continued_flag):
+        data = make(base_stream)
+        r = VorbisReader(data)
+        r.initialize()
+        a = VorbisReader(data, accelerated=True)
+        a.initialize()
+        total = r.total_samples
+        for pos in (0, total // 3, total // 2):
+            r.seek_to(pos)
+            want = r.read_samples(512, planar=True)
+            a.seek_to(pos)
+            got = a.read_samples(512, planar=True)
+            assert got.shape == want.shape
+            assert np.abs(got - want).max() <= 2e-6, (make.__name__, pos)
