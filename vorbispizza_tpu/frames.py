@@ -47,14 +47,15 @@ class BucketKey:
     next_flag: bool
 
 
-@dataclass
+@dataclass(slots=True)
 class FrameEntry:
-    packet: Packet
+    packet: Packet | None
     mode_idx: int
     info: WindowInfo
     offset: int = 0  # global index of frame sample 0 in the accumulator
     prime: bool = False  # chain start: left half contributes nothing
     final: bool = False  # chain end: right half contributes nothing
+    granule: int = -1  # end-page granule anchor (packet.granule when present)
 
 
 @dataclass
@@ -64,6 +65,10 @@ class FramePlan:
     chains: list[list[int]]  # frame indices per resync-free run
     chain_segments: list[list[tuple[int, int]]]  # kept ranges per chain
     buckets: dict[BucketKey, list[int]]  # bucket -> frame indices
+    # native-scan transport: (blob u8[.], starts i64[F], ends i64[F]) — each
+    # frame's packet bytes addressed straight into the Ogg scan's blob, so
+    # extraction hands the C++ decoder zero-copy spans (no Packet objects)
+    scan: tuple | None = None
 
     @property
     def segments(self) -> list[tuple[int, int]]:
@@ -137,7 +142,12 @@ def build_plan(provider: PacketProvider, setup) -> FramePlan:
             info = setup.modes[mode_idx].window_info(prev_flag, next_flag)
             info_memo[key] = info
         current.append(len(frames))
-        frames.append(FrameEntry(packet=packet, mode_idx=mode_idx, info=info))
+        frames.append(
+            FrameEntry(
+                packet=packet, mode_idx=mode_idx, info=info,
+                granule=packet.granule,
+            )
+        )
     if current:
         chains.append(current)
 
@@ -159,6 +169,168 @@ def build_plan(provider: PacketProvider, setup) -> FramePlan:
         chain_segments=chain_segments,
         buckets=buckets,
     )
+
+
+def build_plan_from_scan(
+    blob: np.ndarray,
+    offs: np.ndarray,
+    granules: np.ndarray,
+    flags: np.ndarray,
+    setup,
+    first_audio: int = 3,
+) -> FramePlan:
+    """Pass 1 straight from the native Ogg scan's raw arrays: the
+    mode-header parse, decodability filter, chain split, and (for the
+    dominant stream shape) the chain layout are all vectorized numpy —
+    no per-packet Python objects or byte copies. Semantics identical to
+    build_plan over a provider (differentially tested); exotic anchoring
+    (start trims, granule gaps/regressions) falls back to the exact
+    per-frame layout loop for that chain.
+
+    Reference hot-path analog: Ogg/PacketProvider.CreatePacket:427-560 +
+    StreamDecoder.DecodeNextPacket:696 header reads.
+    """
+    lens_all = np.diff(offs)
+    P_all = len(lens_all)
+    if first_audio >= P_all:
+        return FramePlan([], 1, [], [], {})
+    lens = lens_all[first_audio:]
+    starts = offs[first_audio:-1]
+    g_arr = granules[first_audio:].astype(np.int64)
+    fl = flags[first_audio:]
+    P = len(lens)
+
+    # build_plan stops AFTER the first EOS packet
+    eos = np.nonzero(fl & 2)[0]
+    if len(eos):
+        P = int(eos[0]) + 1
+        lens, starts, g_arr, fl = lens[:P], starts[:P], g_arr[:P], fl[:P]
+
+    safe = np.minimum(starts, len(blob) - 1)
+    b0 = np.where(lens > 0, blob[safe], 1).astype(np.int32)  # empty -> skip
+    b1 = np.where(
+        lens > 1, blob[np.minimum(safe + 1, len(blob) - 1)], 0
+    ).astype(np.int32)
+    v = b0 | (b1 << 8)
+
+    mode_bits = setup.mode_bits
+    n_modes = len(setup.modes)
+    audio = (lens > 0) & ((b0 & 1) == 0)
+    mode_idx = (v >> 1) & ((1 << mode_bits) - 1)
+    if np.any(audio & (mode_idx >= n_modes)):
+        raise InvalidDataError("mode index out of bounds")
+    mi = np.where(audio, mode_idx, 0)
+    bf_arr = np.array([m.block_flag for m in setup.modes], dtype=bool)
+    need_arr = np.array(
+        [1 + mode_bits + (2 if b else 0) for b in bf_arr], dtype=np.int64
+    )
+    decodable = audio & (need_arr[mi] <= 8 * lens)
+    bf = bf_arr[mi] & decodable
+    pf = (np.where(bf, v >> (1 + mode_bits), 0) & 1).astype(bool)
+    nf = (np.where(bf, v >> (2 + mode_bits), 0) & 1).astype(bool)
+
+    sel = np.nonzero(decodable)[0]
+    combo = mi[sel] * 4 + pf[sel] * 2 + nf[sel]
+    infos: dict[int, WindowInfo] = {}
+    for c in np.unique(combo):
+        c = int(c)
+        infos[c] = setup.modes[c >> 2].window_info(bool(c & 2), bool(c & 1))
+    g_sel = g_arr[sel]
+    mi_sel = mi[sel]
+    frames = [
+        FrameEntry(
+            packet=None, mode_idx=int(m), info=infos[int(c)], granule=int(gr)
+        )
+        for m, c, gr in zip(mi_sel, combo, g_sel)
+    ]
+
+    # chains split where any resync packet lies in (prev_sel, sel] —
+    # build_plan breaks on ENCOUNTERING a resync packet, decodable or not
+    cum_res = np.concatenate([[0], np.cumsum((fl & 1).astype(np.int64))])
+    chains: list[list[int]] = []
+    if len(sel):
+        res_before = cum_res[sel + 1]
+        breaks = np.zeros(len(sel), dtype=bool)
+        breaks[1:] = (res_before[1:] - res_before[:-1]) > 0
+        bounds = [0, *np.nonzero(breaks)[0].tolist(), len(sel)]
+        chains = [
+            list(range(a, b))
+            for a, b in zip(bounds[:-1], bounds[1:])
+            if b > a
+        ]
+
+    chain_segments: list[list[tuple[int, int]]] = []
+    base = 0
+    for chain in chains:
+        segments: list[tuple[int, int]] = []
+        nxt = _lay_out_chain_fast(frames, chain, base, segments)
+        if nxt is None:
+            segments = []
+            nxt = _lay_out_chain(frames, chain, base, segments)
+        chain_segments.append(segments)
+        base = nxt
+
+    buckets: dict[BucketKey, list[int]] = {}
+    for c in combo[np.sort(np.unique(combo, return_index=True)[1])]:
+        c = int(c)
+        idxs = np.nonzero(combo == c)[0]
+        info = infos[c]
+        buckets[BucketKey(c >> 2, info.prev_flag, info.next_flag)] = (
+            idxs.tolist()
+        )
+    return FramePlan(
+        frames=frames,
+        total_len=max(base, 1),
+        chains=chains,
+        chain_segments=chain_segments,
+        buckets=buckets,
+        scan=(blob, starts[sel], starts[sel] + lens[sel]),
+    )
+
+
+def _lay_out_chain_fast(frames, chain, base, segments):
+    """Vectorized _lay_out_chain for the dominant stream shape: every
+    granule anchor agrees with the window math except a possible end trim
+    on the final frame. Returns the next base, or None to fall back to the
+    exact per-frame loop (start trims, gaps, mid-stream cuts)."""
+    if not chain:
+        return base
+    k = len(chain)
+    n_ = np.array([frames[i].info.n for i in chain], dtype=np.int64)
+    le = np.array([frames[i].info.left_end for i in chain], dtype=np.int64)
+    re = np.array([frames[i].info.right_end for i in chain], dtype=np.int64)
+    g = np.array([frames[i].granule for i in chain], dtype=np.int64)
+    off0 = base - n_[0] // 2
+    off = off0 + np.concatenate(
+        [[0], np.cumsum(re[:-1] - le[1:])]
+    )
+    centers = off + n_ // 2
+    end = int(centers[-1])
+    anch = np.nonzero(g >= 0)[0]
+    cut = 0
+    if len(anch):
+        emis = centers - centers[0]
+        implied = int(g[anch[0]] - emis[anch[0]])
+        if implied != 0:
+            return None  # start offset / start trim: exact path
+        exp = emis[anch]
+        if len(anch) > 1 and not np.array_equal(g[anch[:-1]], exp[:-1]):
+            return None  # mid-stream gap or cut: exact path
+        cut = int(exp[-1] - g[anch[-1]])
+        if cut < 0:
+            return None  # forward jump at the final anchor
+        if cut > 0 and anch[-1] != k - 1:
+            return None  # trim not on the final frame
+    keep_end = end - cut
+    if keep_end < base:
+        return None  # cut past the chain start: exact path raises
+    for i, o in zip(chain, off):
+        frames[i].offset = int(o)
+    frames[chain[0]].prime = True
+    frames[chain[-1]].final = True
+    if keep_end > base:
+        segments.append((base, keep_end))
+    return end
 
 
 def _lay_out_chain(
@@ -199,7 +371,7 @@ def _lay_out_chain(
             unanchored += n_emit
         else:
             pos += n_emit
-        granule = fr.packet.granule
+        granule = fr.granule
         if granule < 0:
             continue
         if pos is None:
@@ -289,6 +461,7 @@ def split_plan(plan: FramePlan, max_frames: int) -> list[FramePlan]:
                     offset=fr.offset,
                     prime=fr.prime or (prime_first and j == 0),
                     final=fr.final or (final_last and j == len(idxs) - 1),
+                    granule=fr.granule,
                 )
             )
             sub.append(base + j)
@@ -401,8 +574,17 @@ def _extract_batch_native(
     max_order = max(
         (f.order for f in setup.floors if f.floor_type == 0), default=0
     )
-    packets = [fr.packet.data for fr in plan.frames]
-    dec = native.decode_packets(blob, packets, channels, max_half, max_order)
+    if plan.scan is not None:
+        # zero-copy: packet spans point straight into the Ogg scan's blob
+        sblob, sstarts, sends = plan.scan
+        dec = native.decode_packet_spans(
+            blob, sblob, sstarts, sends, channels, max_half, max_order
+        )
+    else:
+        packets = [fr.packet.data for fr in plan.frames]
+        dec = native.decode_packets(
+            blob, packets, channels, max_half, max_order
+        )
     meta = dec["meta"]
     for i, fr in enumerate(plan.frames):
         if meta[i, 0] != 1 or meta[i, 1] != fr.mode_idx:

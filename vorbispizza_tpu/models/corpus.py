@@ -32,42 +32,31 @@ from ..ogg.container import OggContainer
 from .pipeline import BatchSynthesizer
 
 
-class _ListProvider:
-    """Packet-provider shim over a pre-assembled packet list (native scan)."""
-
-    def __init__(self, packets):
-        self._packets = packets
-        self._i = 0
-
-    def get_next_packet(self):
-        if self._i >= len(self._packets):
-            return None
-        p = self._packets[self._i]
-        self._i += 1
-        return p
-
-
 def _front_end_native(data: bytes):
-    """All-native front end: C++ Ogg scan + C++ entropy decode. Returns None
-    when the native path cannot model the stream (Python fallback)."""
+    """All-native front end: C++ Ogg scan -> raw arrays -> vectorized plan
+    -> C++ entropy decode over zero-copy spans. No per-packet Python
+    objects or byte copies anywhere on this path. Returns None when the
+    native path cannot model the stream (Python fallback)."""
     from .. import native
     from ..config import VorbisConfig
+    from ..frames import build_plan_from_scan
     from ..setup.header import parse_comments, parse_ident, parse_setup_cached
 
     if not VorbisConfig.default.use_native_frontend or not native.available():
         return None
-    res = native.scan_ogg(data)
-    if res is None or len(res[0]) < 3:
+    res = native.scan_ogg_arrays(data)
+    if res is None or len(res[1]) < 4:
         return None
-    packets, _serial = res
+    blob, offs, granules, flags, _serial = res
     try:
-        ident = parse_ident(packets[0].data)
-        parse_comments(packets[1].data)
-        setup = parse_setup_cached(packets[2].data, ident)
+        ident = parse_ident(blob[offs[0] : offs[1]].tobytes())
+        parse_comments(blob[offs[1] : offs[2]].tobytes())
+        setup = parse_setup_cached(blob[offs[2] : offs[3]].tobytes(), ident)
+        plan = build_plan_from_scan(blob, offs, granules, flags, setup)
+    except BatchUnsupported:
+        raise
     except Exception:
         return None  # headers the scanner mis-modeled: use the full path
-    provider = _ListProvider(packets[3:])
-    plan = build_plan(provider, setup)
     buckets = extract_batch(plan, setup, ident.channels, ident=ident)
     return setup, ident.channels, plan, buckets
 
@@ -212,6 +201,7 @@ def decode_corpus(
     batched: bool = True,
     max_batch_bytes: int | None = None,
     devices=None,
+    timer=None,
 ):
     """Decode many Ogg Vorbis sources (paths or bytes) -> list of planar
     PCM arrays, in input order.
@@ -234,7 +224,20 @@ def decode_corpus(
     ``devices``: a list of jax devices to round-robin merged executions
     over (stream-level data parallelism across chips; each chunk runs
     whole on one chip — no cross-chip dependencies exist between streams).
+
+    ``timer``: an optional utils.profiling.DecodeTimer accumulating
+    wall-clock per stage (front_end, merge, prepare, dispatch, collect) —
+    the stage-attribution surface used by bench.py.
+
+    Pipelining: front ends run on a thread pool; merged chunks are packed
+    and DISPATCHED as soon as enough streams of one setup group complete
+    (device transfers and execution are asynchronous, so chunk k's
+    host->device copies and compute overlap chunk k+1's front end), and
+    device->host copies start immediately after dispatch so they share the
+    interconnect with later chunks instead of serializing at the end.
     """
+    import contextlib
+
     from ..config import VorbisConfig
 
     cfg = VorbisConfig.default
@@ -243,6 +246,16 @@ def decode_corpus(
     if max_batch_bytes is None:
         max_batch_bytes = cfg.corpus_batch_bytes
     fmt = "s16" if output == "s16" else "f32"
+
+    class _NullTimer:
+        @contextlib.contextmanager
+        def stage(self, name):
+            yield
+
+        def count(self, name, value):
+            pass
+
+    t = timer if timer is not None else _NullTimer()
 
     def finish(arr, n_streams_lengths=None):
         if output == "device":
@@ -264,11 +277,12 @@ def decode_corpus(
             return None
 
     outs = [None] * len(sources)
-    with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
-        fronts = list(pool.map(front_end_or_none, sources))
-    for i, front in enumerate(fronts):
-        if front is None:
-            outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+    if not batched:
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+            fronts = list(pool.map(front_end_or_none, sources))
+        for i, front in enumerate(fronts):
+            if front is None:
+                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
 
     if not batched:
         synths: dict[int, BatchSynthesizer] = {}
@@ -285,57 +299,85 @@ def decode_corpus(
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
         return outs
 
-    # group by (setup identity, channels); one fused execution per group
-    groups: dict = {}
-    for i, front in enumerate(fronts):
-        if front is None:
-            continue
-        setup, channels, plan, buckets = front
-        groups.setdefault((id(setup), channels), []).append(i)
-    synths = {}
-    for (sid, channels), idxs in groups.items():
-        setup = fronts[idxs[0]][0]
+    # Batched path: accumulate per-(setup, channels) groups as front ends
+    # complete; pack + DISPATCH a merged chunk the moment a group reaches
+    # the transfer sweet spot, so transfers/compute pipeline behind the
+    # remaining front ends.
+    synths: dict[int, BatchSynthesizer] = {}
+    pending: list = []
+    n_dispatched = 0
+
+    def dispatch(chunk, fronts_by_idx):
+        nonlocal n_dispatched
+        synth = None
+        sid = id(fronts_by_idx[chunk[0]][0])
         synth = synths.get(sid)
         if synth is None:
+            setup, channels = fronts_by_idx[chunk[0]][:2]
             synth = BatchSynthesizer(setup, channels)
             synths[sid] = synth
-        # chunk the group so each fused execution stays in the transfer
-        # sweet spot
-        chunks: list[list[int]] = [[]]
-        acc = 0
-        for i in idxs:
-            nbytes = sum(b.residues.nbytes for b in fronts[i][3])
-            if chunks[-1] and acc + nbytes > max_batch_bytes:
-                chunks.append([])
-                acc = 0
-            chunks[-1].append(i)
-            acc += nbytes
-        pending = []
-        for ci, chunk in enumerate(chunks):
+        with t.stage("merge"):
             plan_m, buckets_m, pcm_lengths = merge_streams(
-                [(fronts[i][2], fronts[i][3]) for i in chunk]
+                [fronts_by_idx[i][2:4] for i in chunk]
             )
-            dev = devices[ci % len(devices)] if devices else None
+        dev = devices[n_dispatched % len(devices)] if devices else None
+        n_dispatched += 1
+        try:
+            with t.stage("prepare"):
+                args = synth.prepare(plan_m, buckets_m, fmt, device=dev)
+            t.count(
+                "h2d_bytes",
+                sum(int(a.size) * a.dtype.itemsize for a in args[1]),
+            )
+            with t.stage("dispatch"):
+                # async: the chunk is in flight before any d2h completes
+                merged_out = synth.run(*args)
+        except BatchUnsupported:
+            # stream shapes the batch planner cannot model: decode each
+            # stream of this chunk with the scalar anchor instead
+            for i in chunk:
+                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+            return
+        if output != "device":
+            # start the device->host copy now so it overlaps later chunks'
+            # transfers/execution instead of serializing at the end
             try:
-                # dispatch is async: chunks are in flight before any d2h
-                merged_out = synth.assemble(
-                    plan_m, buckets_m, output=fmt, device=dev
-                )
-            except BatchUnsupported:
-                # stream shapes the batch planner cannot model: decode each
-                # stream of this chunk with the scalar anchor instead
-                for i in chunk:
+                merged_out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        pending.append((chunk, pcm_lengths, merged_out))
+
+    fronts_by_idx: dict = {}
+    acc: dict = {}  # (sid, channels) -> [indices, residue_bytes]
+    with t.stage("front_end"):
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futs = {pool.submit(front_end_or_none, src): i
+                    for i, src in enumerate(sources)}
+            for fut in cf.as_completed(futs):
+                i = futs[fut]
+                front = fut.result()
+                if front is None:
                     outs[i] = _scalar_fallback(sources[i], output, clip_samples)
-                continue
-            if output != "device":
-                # start the device->host copy now so it overlaps later
-                # chunks' execution instead of serializing at the end
-                try:
-                    merged_out.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    pass
-            pending.append((chunk, pcm_lengths, merged_out))
+                    continue
+                fronts_by_idx[i] = front
+                key = (id(front[0]), front[1])
+                rec = acc.setdefault(key, [[], 0])
+                rec[0].append(i)
+                rec[1] += sum(b.residues.nbytes for b in front[3])
+                if rec[1] >= max_batch_bytes:
+                    dispatch(sorted(rec[0]), fronts_by_idx)
+                    acc[key] = [[], 0]
+    for key, (idxs, nbytes) in acc.items():
+        if idxs:
+            dispatch(sorted(idxs), fronts_by_idx)
+
+    with t.stage("collect"):
         for chunk, pcm_lengths, merged_out in pending:
+            if output != "device":
+                t.count(
+                    "d2h_bytes",
+                    int(np.prod(merged_out.shape)) * merged_out.dtype.itemsize,
+                )
             if output == "device":
                 c = 0
                 for i, ln in zip(chunk, pcm_lengths):

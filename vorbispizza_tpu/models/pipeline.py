@@ -184,12 +184,20 @@ class BatchSynthesizer:
             base += Fp * n
         return flat_base
 
+    #: Mosaic requires dynamic VMEM slice starts in the lane dimension to be
+    #: provably divisible by the (.., 128) tiling; hop offsets from
+    #: long<->short transitions (e.g. (n1+n0)/4 = 576) are not, so those
+    #: plans route through the gather path instead.
+    OLA_ALIGN = 128
+
     def _build_hops(self, plan: FramePlan, flat_base):
         """Per-class hop arrays for the Pallas OLA kernel, or None when the
-        plan has granule cuts (gather fallback). Returns (classes, total):
-        classes maps HopClass -> (src_a, src_b, dst) int32 lists."""
+        plan has granule cuts or any hop offset/length is not 128-aligned
+        (gather fallback). Returns (classes, total): classes maps
+        HopClass -> (src_a, src_b, dst) int32 lists."""
         if not plan.is_cut_free():
             return None  # trimmed stream: use the gather path
+        A = self.OLA_ALIGN
         classes: dict[HopClass, tuple[list, list, list]] = {}
         out_pos = 0
         for chain in plan.chains:
@@ -200,9 +208,20 @@ class BatchSynthesizer:
                 cls, b_off = hop_class(
                     fp.info.n, fc.info.n // 2, fc.info.left_end, tail_prev
                 )
+                src_a = flat_base[chain[k - 1]] + fp.info.n // 2
+                src_b = flat_base[chain[k]] + b_off
+                if (
+                    cls.length % A
+                    or cls.prev_len % A
+                    or cls.cur_len % A
+                    or src_a % A
+                    or src_b % A
+                    or out_pos % A
+                ):
+                    return None  # unaligned hop geometry: gather path
                 rec = classes.setdefault(cls, ([], [], []))
-                rec[0].append(flat_base[chain[k - 1]] + fp.info.n // 2)
-                rec[1].append(flat_base[chain[k]] + b_off)
+                rec[0].append(src_a)
+                rec[1].append(src_b)
                 rec[2].append(out_pos)
                 out_pos += cls.length
         return classes, out_pos
@@ -285,7 +304,8 @@ class BatchSynthesizer:
             npart = half // PG
             e = {
                 "gmap": slot("i32", (Fp * channels * npart,)),
-                "packed": slot(ptag, (Kp, PG)),
+                # "u8b" = int8 values shipped +128-biased in the u8 buffer
+                "packed": slot("u8" if ptag == "u8b" else ptag, (Kp, PG)),
                 "groups": [],
             }
             for meta in metas:
@@ -357,13 +377,15 @@ class BatchSynthesizer:
                             }
                         )
                 # sparse residue expansion: gather packed nonzero blocks
-                packed = take(e["packed"])  # [Kp, PG]; row 0 is all-zero
+                packed = take(e["packed"])  # [Kp, PG]; row 0 decodes to zero
                 gmap = take(e["gmap"])  # [Fp*C*npart]
                 residues = (
                     jnp.take(packed, gmap, axis=0)
                     .reshape(Fp, C, half)
                     .astype(jnp.float32)
                 )
+                if ptag == "u8b":
+                    residues = residues - 128.0  # un-bias (row 0 stored 128)
                 frames = self._synth_math(
                     key,
                     residues,
@@ -430,7 +452,12 @@ class BatchSynthesizer:
         device execution."""
         PG = self.PACK_GRAN
         metas_per = [self._group_meta(b)[0] for b in buckets]
-        # sparse-pack residues: nonzero PG-column blocks only (+ zero row 0)
+        # sparse-pack residues: nonzero PG-column blocks only (+ zero row 0).
+        # Values are sums of small lattice codebook entries, so they are
+        # integral; most buckets fit int8 (shipped biased in the u8 buffer,
+        # "u8b"), the rest int16 — the packed residues dominate host->device
+        # bytes and the interconnect budget is aggregate, so narrower dtypes
+        # translate 1:1 into throughput.
         packs = []
         padded_n = []
         for b in buckets:
@@ -440,11 +467,15 @@ class BatchSynthesizer:
             nz = np.any(r != 0, axis=1)
             rows = r[nz]
             K = rows.shape[0]
-            int16_ok = K == 0 or (
-                np.abs(rows).max() <= 32000.0
-                and not np.any(rows != np.rint(rows))
-            )
-            ptag = "i16" if int16_ok else "f32"
+            if K == 0:
+                ptag = "u8b"
+            elif np.any(rows != np.rint(rows)):
+                ptag = "f32"
+            else:
+                amax = np.abs(rows).max()
+                ptag = "u8b" if amax <= 127.0 else (
+                    "i16" if amax <= 32000.0 else "f32"
+                )
             gmap = np.zeros(F * C * npart, dtype=np.int32)
             gmap[nz] = 1 + np.arange(K, dtype=np.int32)
             packs.append((gmap, rows, K, ptag))
@@ -474,7 +505,11 @@ class BatchSynthesizer:
             bufs[tag][off : off + len(gmap)] = gmap
             tag, off, shape = e["packed"]
             view = bufs[tag][off : off + int(np.prod(shape))].reshape(shape)
-            view[1 : K + 1] = rows  # row 0 stays all-zero
+            if ptag == "u8b":
+                view[0] = 128  # biased zero row
+                view[1 : K + 1] = (rows + 128.0).astype(np.uint8)
+            else:
+                view[1 : K + 1] = rows  # row 0 stays all-zero
             put(e["prime"], bucket.prime.astype(np.uint8))
             put(e["final"], bucket.final.astype(np.uint8))
             for g, ge, meta in zip(bucket.floor_groups, e["groups"], metas):

@@ -71,8 +71,9 @@ def _load():
         ]
         lib.vp_decode_packets.restype = C.c_int
         lib.vp_decode_packets.argtypes = [
-            C.c_char_p, C.c_int64,            # blob
-            C.c_char_p, C.POINTER(C.c_int64), C.c_int64,  # packets
+            C.c_char_p, C.c_int64,            # setup blob
+            C.c_void_p,                       # packet bytes base
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.c_int64,  # spans
             C.POINTER(C.c_int32),             # meta
             C.POINTER(C.c_float),             # residues
             C.POINTER(C.c_int32),             # posts
@@ -99,15 +100,16 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(C.POINTER(ctype))
 
 
-def scan_ogg(data: bytes, serial: int = -1):
-    """Scan one logical stream's packets out of an Ogg byte buffer
-    (frontend.cpp vp_scan_ogg — mirrors ogg/page.py + ogg/logical.py).
+def scan_ogg_arrays(data: bytes, serial: int = -1):
+    """Scan one logical stream out of an Ogg byte buffer (frontend.cpp
+    vp_scan_ogg — mirrors ogg/page.py + ogg/logical.py), keeping the result
+    as RAW ARRAYS: no per-packet Python objects or slice copies.
 
-    Returns (packets, serial) where packets is a list of
-    ogg.logical.Packet, or None when the native scanner cannot model the
-    stream (caller falls back to the Python layer)."""
-    from ..ogg.logical import Packet
-
+    Returns (blob u8[.], offs i64[P+1], granules i64[P], flags u8[P],
+    serial) — packet i's bytes are blob[offs[i]:offs[i+1]], laid out
+    back-to-back — or None when the native scanner cannot model the stream
+    (caller falls back to the Python layer). flags: bit0 resync, bit1 EOS.
+    """
     lib = _load()
     if lib is None:
         return None
@@ -132,6 +134,24 @@ def scan_ogg(data: bytes, serial: int = -1):
         break
     if rc < 0:
         return None
+    return (
+        blob,
+        offs[: rc + 1],
+        granules[:rc],
+        flags[:rc],
+        int(out_serial.value),
+    )
+
+
+def scan_ogg(data: bytes, serial: int = -1):
+    """scan_ogg_arrays materialized into ogg.logical.Packet objects (the
+    compatibility surface for provider-shaped callers)."""
+    from ..ogg.logical import Packet
+
+    res = scan_ogg_arrays(data, serial)
+    if res is None:
+        return None
+    blob, offs, granules, flags, out_serial = res
     raw = blob.tobytes()
     packets = [
         Packet(
@@ -142,9 +162,9 @@ def scan_ogg(data: bytes, serial: int = -1):
             page_index=0,
             packet_index=i,
         )
-        for i in range(rc)
+        for i in range(len(granules))
     ]
-    return packets, int(out_serial.value)
+    return packets, out_serial
 
 
 def decode_packets(
@@ -155,7 +175,32 @@ def decode_packets(
     max_order: int,
     n_threads: int | None = None,
 ):
-    """Decode audio packets -> dense tensors.
+    """Decode a LIST of packet byte strings -> dense tensors (convenience
+    over decode_packet_spans for provider-shaped callers)."""
+    P = len(packets)
+    offs = np.zeros(P + 1, dtype=np.int64)
+    for i, p in enumerate(packets):
+        offs[i + 1] = offs[i] + len(p)
+    data = np.frombuffer(b"".join(packets), dtype=np.uint8)
+    return decode_packet_spans(
+        blob, data, offs[:-1], offs[1:], channels, max_half, max_order,
+        n_threads=n_threads,
+    )
+
+
+def decode_packet_spans(
+    blob: bytes,
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    channels: int,
+    max_half: int,
+    max_order: int,
+    n_threads: int | None = None,
+):
+    """Decode audio packets addressed as (start, end) spans into ``data``
+    (u8 array — e.g. the Ogg scan's blob, handed straight through with no
+    re-join or per-packet copies) -> dense tensors.
 
     Returns dict with: meta [P,4] i32 (ok, mode_idx, prev, next),
     residues [P,C,max_half] f32 (pre-coupling), posts [P,C,65] i32,
@@ -164,11 +209,9 @@ def decode_packets(
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native front end unavailable: {_build_error}")
-    P = len(packets)
-    offs = np.zeros(P + 1, dtype=np.int64)
-    for i, p in enumerate(packets):
-        offs[i + 1] = offs[i] + len(p)
-    data = b"".join(packets)
+    P = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
 
     meta = np.zeros((P, 4), dtype=np.int32)
     # residues[:, :, :half] is fully written by the decoder for every audio
@@ -185,7 +228,8 @@ def decode_packets(
         n_threads = min(os.cpu_count() or 1, 16)
     rc = lib.vp_decode_packets(
         blob, len(blob),
-        data, offs.ctypes.data_as(C.POINTER(C.c_int64)), P,
+        data.ctypes.data_as(C.c_void_p),
+        _ptr(starts, C.c_int64), _ptr(ends, C.c_int64), P,
         _ptr(meta, C.c_int32),
         _ptr(residues, C.c_float),
         _ptr(posts, C.c_int32),

@@ -611,8 +611,12 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
 
 extern "C" {
 
+// Packets are addressed by independent (start, end) spans into pkt_data so
+// callers can hand the Ogg scanner's blob straight in (audio packets need
+// not be contiguous there): no re-join, no per-packet copies on the host.
 int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
-                      const uint8_t* pkt_data, const int64_t* pkt_off,
+                      const uint8_t* pkt_data, const int64_t* pkt_start,
+                      const int64_t* pkt_end,
                       int64_t n_pkts, int32_t* meta, float* residues,
                       int32_t* posts, uint8_t* step2, uint8_t* used,
                       float* f0_coeffs, int32_t* f0_amp, int n_threads) {
@@ -627,7 +631,7 @@ int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
     auto work = [&](int64_t lo, int64_t hi) {
         Scratch sc;
         for (int64_t i = lo; i < hi; i++) {
-            decode_one(s, pkt_data + pkt_off[i], pkt_off[i + 1] - pkt_off[i],
+            decode_one(s, pkt_data + pkt_start[i], pkt_end[i] - pkt_start[i],
                        i, o, sc);
         }
     };

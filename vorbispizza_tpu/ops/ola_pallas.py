@@ -60,12 +60,19 @@ def _ola_kernel(src_a_ref, src_b_ref, dst_ref, flat_ref, prev_ref, out_ref,
         cp.start()
         cp.wait()
 
+    # hop offsets are 128-aligned by construction (pipeline._build_hops
+    # gates on OLA_ALIGN); pl.multiple_of carries that proof to Mosaic,
+    # whose lane-dim dynamic slices require provable tile divisibility
     cp_a = pltpu.make_async_copy(
-        flat_ref.at[:, pl.ds(src_a_ref[h], La)], buf_a, sem_a
+        flat_ref.at[:, pl.ds(pl.multiple_of(src_a_ref[h], 128), La)],
+        buf_a,
+        sem_a,
     )
     cp_a.start()
     cp_b = pltpu.make_async_copy(
-        flat_ref.at[:, pl.ds(src_b_ref[h], Lb)], buf_b, sem_b
+        flat_ref.at[:, pl.ds(pl.multiple_of(src_b_ref[h], 128), Lb)],
+        buf_b,
+        sem_b,
     )
     cp_b.start()
     cp_a.wait()
@@ -74,7 +81,7 @@ def _ola_kernel(src_a_ref, src_b_ref, dst_ref, flat_ref, prev_ref, out_ref,
     acc[:, :La] += buf_a[:]
     acc[:, j0:] += buf_b[:]
     cp_o = pltpu.make_async_copy(
-        acc, out_ref.at[:, pl.ds(dst_ref[h], L)], sem_o
+        acc, out_ref.at[:, pl.ds(pl.multiple_of(dst_ref[h], 128), L)], sem_o
     )
     cp_o.start()
     cp_o.wait()

@@ -426,15 +426,20 @@ def make_floor0_stream(n_packets: int = 40, rate: int = 8000, seed: int = 0):
 
 
 def make_extreme_blocksize_stream(
-    n_packets: int = 30, rate: int = 44100, seed: int = 1, pad_to: int = 0
+    n_packets: int = 30, rate: int = 44100, seed: int = 1, pad_to: int = 0,
+    pattern: str = "alternate",
 ):
-    """Mono floor1 + residue type 1 stream with 64/8192 block switching —
+    """Mono floor1 + residue type 1 stream with 64/8192 blocksizes —
     the full spec blocksize range in one stream.
 
     ``pad_to``: zero-pad each audio packet to at least this many bytes
     (trailing bytes are never read by decode); large values force packets
     to span page boundaries (continued packets), the libnogg "split
-    packet" / seek-on-continued-packet shapes."""
+    packet" / seek-on-continued-packet shapes.
+
+    ``pattern``: "alternate" switches blocks every two packets (every hop
+    transition class); "long"/"short" keep one uniform blocksize (the
+    128-aligned steady-state hop geometry the Pallas OLA kernel serves)."""
     rng = np.random.default_rng(seed)
     bs0, bs1 = 64, 8192
 
@@ -474,7 +479,12 @@ def make_extreme_blocksize_stream(
     ]
 
     # deterministic mode sequence exercising every transition
-    flags = [(k // 2) % 2 for k in range(n_packets)]
+    if pattern == "long":
+        flags = [1] * n_packets
+    elif pattern == "short":
+        flags = [0] * n_packets
+    else:
+        flags = [(k // 2) % 2 for k in range(n_packets)]
     packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
     granule = 0
     for k in range(n_packets):

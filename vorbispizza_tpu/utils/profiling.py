@@ -30,9 +30,13 @@ def device_trace(log_dir: str):
 @dataclass
 class DecodeTimer:
     """Wall-clock accounting of pipeline stages (host front end vs device),
-    the batch analog of the reference's StreamStats bitrate accounting."""
+    the batch analog of the reference's StreamStats bitrate accounting.
+    ``counters`` accumulates quantities (e.g. h2d/d2h bytes) alongside the
+    stage walls. Stages may overlap (the corpus pipeline dispatches chunks
+    while front ends still run), so stage walls need not sum to the total."""
 
     stages: dict = field(default_factory=dict)
+    counters: dict = field(default_factory=dict)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -44,5 +48,10 @@ class DecodeTimer:
                 time.perf_counter() - t0
             )
 
+    def count(self, name: str, value) -> None:
+        self.counters[name] = self.counters.get(name, 0) + value
+
     def report(self) -> dict:
-        return dict(self.stages)
+        out = dict(self.stages)
+        out.update(self.counters)
+        return out
