@@ -351,10 +351,12 @@ def decode_corpus(
     acc: dict = {}  # (sid, channels) -> [indices, residue_bytes]
     with t.stage("front_end"):
         with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
-            futs = {pool.submit(front_end_or_none, src): i
-                    for i, src in enumerate(sources)}
-            for fut in cf.as_completed(futs):
-                i = futs[fut]
+            futs = [pool.submit(front_end_or_none, src) for src in sources]
+            # consume in SUBMISSION order (later futures keep computing in
+            # the pool): chunk composition stays deterministic, so merged
+            # shapes and per-stream output slices hit the jit caches on
+            # repeated corpora instead of recompiling every run
+            for i, fut in enumerate(futs):
                 front = fut.result()
                 if front is None:
                     outs[i] = _scalar_fallback(sources[i], output, clip_samples)

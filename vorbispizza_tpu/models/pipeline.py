@@ -412,8 +412,23 @@ class BatchSynthesizer:
                 # kept output positions (global coords)
                 if segments is None:
                     pos = jnp.arange(sig[3], dtype=jnp.int32)
-                else:  # "dynamic": host-provided position list
-                    pos = rest[3]
+                else:
+                    # ("segs", Sp): per-SEGMENT descriptors expanded on
+                    # device — output index j in segment k maps to global
+                    # position seg_start[k] + (j - seg_base[k]). Three ints
+                    # per kept range instead of one int per output sample
+                    # (a merged corpus's position list would otherwise be
+                    # as large as the PCM itself).
+                    seg_start, seg_base = rest[3], rest[4]
+                    j = jnp.arange(sig[3], dtype=jnp.int32)
+                    k = (
+                        jnp.searchsorted(seg_base, j, side="right").astype(
+                            jnp.int32
+                        )
+                        - 1
+                    )
+                    k = jnp.clip(k, 0, seg_base.shape[0] - 1)
+                    pos = jnp.take(seg_start, k) + (j - jnp.take(seg_base, k))
                 F = offs.shape[0]
                 a = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
                 a = jnp.clip(a, 0, F - 1)
@@ -571,17 +586,20 @@ class BatchSynthesizer:
                 # kept positions are exactly [0, total): generate on device
                 seg_sig = None
             else:
-                # dynamic position list (padded with out-of-range sentinels
-                # so the padded tail gathers zeros) — keeps the compiled
-                # program independent of the segment structure
-                seg_sig = "dynamic"
-                pos = np.full(out_len, np.iinfo(np.int32).max, dtype=np.int32)
+                # per-segment descriptors; positions expand on device (the
+                # padded tail maps to a far sentinel so it gathers zeros).
+                # Sp is quantized so similar corpora reuse the program.
+                kept = [(s_, e_) for s_, e_ in segs if e_ > s_]
+                Sp = _pad_size(max(len(kept), 1), 16)
+                seg_sig = ("segs", Sp)
+                seg_start = np.full(Sp, 1 << 30, dtype=np.int32)
+                seg_base = np.full(Sp, max(total, 1), dtype=np.int32)
                 c = 0
-                for s_, e_ in segs:
-                    if e_ > s_:
-                        pos[c : c + e_ - s_] = np.arange(s_, e_, dtype=np.int32)
-                        c += e_ - s_
-                host_args.append(pos)
+                for i_, (s_, e_) in enumerate(kept):
+                    seg_start[i_] = s_
+                    seg_base[i_] = c
+                    c += e_ - s_
+                host_args.extend([seg_start, seg_base])
         sig = (
             statics,
             tuple(padded_n),
