@@ -62,9 +62,12 @@ class AcceleratedStreamDecoder:
                 for fr in plan.frames:
                     self._dec.stats.add_packet(
                         samples=fr.info.sample_count,
+                        # batch path decodes off-host, so bits-read is not
+                        # tracked per packet; whole-packet bits approximate
+                        # audio (waste folds in), container is exact
                         audio_bits=8 * len(fr.packet.data),
                         waste_bits=0,
-                        container_bits=0,
+                        container_bits=fr.packet.container_bits,
                     )
             except (BatchUnsupported, OlaUnsupported):
                 # scalar fallback keeps exact streaming semantics; read

@@ -693,12 +693,13 @@ def decode_stream_batch(
     if stats is not None:
         stats.sample_rate = dec.sample_rate
         stats.header_bits += dec.stats.header_bits
+        stats.container_bits += dec.stats.container_bits
         for fr in plan.frames:
             stats.add_packet(
                 samples=fr.info.sample_count,
                 audio_bits=8 * len(fr.packet.data),
                 waste_bits=0,
-                container_bits=0,
+                container_bits=fr.packet.container_bits,
             )
     return pcm
 
