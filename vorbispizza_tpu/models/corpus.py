@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import io
+import threading
 
 import numpy as np
 
@@ -30,6 +31,29 @@ from ..frames import (
 )
 from ..ogg.container import OggContainer
 from .pipeline import BatchSynthesizer
+
+
+_SYNTH_CACHE: dict = {}
+_SYNTH_LOCK = threading.Lock()
+_SYNTH_CACHE_MAX = 32
+
+
+def _synthesizer_for(setup, channels: int) -> BatchSynthesizer:
+    """Process-wide BatchSynthesizer cache keyed on setup identity (setups
+    are shared via parse_setup_cached, so identity is stable and the held
+    reference keeps the id alive). Reusing the synthesizer reuses its
+    jitted programs — retracing per decode_corpus call costs seconds per
+    program load on a remote accelerator."""
+    key = (id(setup), channels)
+    with _SYNTH_LOCK:
+        hit = _SYNTH_CACHE.get(key)
+        if hit is not None and hit[0] is setup:
+            return hit[1]
+        synth = BatchSynthesizer(setup, channels)
+        if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:
+            _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
+        _SYNTH_CACHE[key] = (setup, synth)
+        return synth
 
 
 def _front_end_native(data: bytes):
@@ -245,7 +269,10 @@ def decode_corpus(
         n_workers = cfg.corpus_workers
     if max_batch_bytes is None:
         max_batch_bytes = cfg.corpus_batch_bytes
-    fmt = "s16" if output == "s16" else "f32"
+    if output == "s16":
+        fmt = "s16p" if cfg.s16_plane_transfer else "s16"
+    else:
+        fmt = "f32"
 
     class _NullTimer:
         @contextlib.contextmanager
@@ -261,7 +288,12 @@ def decode_corpus(
         if output == "device":
             return arr
         if output == "s16":
-            return np.asarray(arr)
+            host = np.asarray(arr)
+            if host.ndim == 3:
+                # byte planes [2, C, L] u8 -> int16, losslessly
+                pcm = ((host[1].astype(np.int32) << 8) | host[0]) - 32768
+                return pcm.astype(np.int16)
+            return host
         pcm = np.array(arr, dtype=np.float32)
         if clip_samples:
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
@@ -285,14 +317,11 @@ def decode_corpus(
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
 
     if not batched:
-        synths: dict[int, BatchSynthesizer] = {}
         for i, front in enumerate(fronts):
             if front is None:
                 continue
             setup, channels, plan, buckets = front
-            synth = synths.setdefault(
-                id(setup), BatchSynthesizer(setup, channels)
-            )
+            synth = _synthesizer_for(setup, channels)
             try:
                 outs[i] = finish(synth.assemble(plan, buckets, output=fmt))
             except BatchUnsupported:
@@ -303,19 +332,13 @@ def decode_corpus(
     # complete; pack + DISPATCH a merged chunk the moment a group reaches
     # the transfer sweet spot, so transfers/compute pipeline behind the
     # remaining front ends.
-    synths: dict[int, BatchSynthesizer] = {}
     pending: list = []
     n_dispatched = 0
 
     def dispatch(chunk, fronts_by_idx):
         nonlocal n_dispatched
-        synth = None
-        sid = id(fronts_by_idx[chunk[0]][0])
-        synth = synths.get(sid)
-        if synth is None:
-            setup, channels = fronts_by_idx[chunk[0]][:2]
-            synth = BatchSynthesizer(setup, channels)
-            synths[sid] = synth
+        setup, channels = fronts_by_idx[chunk[0]][:2]
+        synth = _synthesizer_for(setup, channels)
         with t.stage("merge"):
             plan_m, buckets_m, pcm_lengths = merge_streams(
                 [fronts_by_idx[i][2:4] for i in chunk]
