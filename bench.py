@@ -32,17 +32,20 @@ import numpy as np
 
 
 def measure_tunnel(jax, jnp):
-    """Aggregate tunnel rates with computed (incompressible) payloads."""
+    """Aggregate tunnel rates with computed (incompressible) payloads.
+
+    block_until_ready is unreliable over the tunnel, so h2d completion is
+    proven by pulling a full-data reduction (4 bytes back), and d2h by a
+    real pull of computed data."""
     x = np.random.randint(-30000, 30000, size=(4 << 20,), dtype=np.int16)  # 8MB
     d = jax.device_put(x)
-    y = d.astype(jnp.float32) * 1.0001
-    np.asarray(y)  # warm path end-to-end
+    np.asarray((d.astype(jnp.float32) * 1.0001).sum())  # warm end-to-end
     t0 = time.perf_counter()
-    d = jax.device_put(x)
-    (d.astype(jnp.float32) * 1.0003)[:8].block_until_ready()
+    d = jax.device_put(x + 1)
+    np.asarray((d.astype(jnp.float32) * 1.0003).sum())
     h2d = x.nbytes / (time.perf_counter() - t0)
     y = d.astype(jnp.float32) * 1.0007
-    y.block_until_ready()
+    np.asarray(y.sum())  # ensure computed before timing the pull
     t0 = time.perf_counter()
     np.asarray(y)
     d2h = y.nbytes / (time.perf_counter() - t0)
