@@ -284,7 +284,7 @@ def decode_corpus(
 
     t = timer if timer is not None else _NullTimer()
 
-    def finish(arr, n_streams_lengths=None):
+    def finish(arr):
         if output == "device":
             return arr
         if output == "s16":
@@ -315,10 +315,6 @@ def decode_corpus(
         for i, front in enumerate(fronts):
             if front is None:
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
-
-    if not batched:
-        for i, front in enumerate(fronts):
-            if front is None:
                 continue
             setup, channels, plan, buckets = front
             synth = _synthesizer_for(setup, channels)
