@@ -177,3 +177,31 @@ def test_decode_corpus_mixed_setups():
     s0 = _front_end(corpus[0])[0]
     s3 = _front_end(corpus[3])[0]
     assert s0 is s3
+
+
+def test_decode_corpus_s16_clipping_extremes():
+    """Byte-plane s16 wire format at the clip rails: a hot signal (inter-
+    sample peaks past full scale) must quantize identically to the scalar
+    s16 definition through the plane transport."""
+    from vorbispizza_tpu.config import VorbisConfig
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(2, 0.4, kind="music", seed=77) * 1.6  # drive into clip
+    data = encode_vorbis(sig, quality=0.6)
+    ref = scalar_decode(data)
+    want = np.clip(
+        np.rint(np.clip(ref, -0.99999994, 0.99999994).astype(np.float64) * 32768.0),
+        -32768,
+        32767,
+    ).astype(np.int16)
+    saved = VorbisConfig.default.s16_plane_transfer
+    try:
+        for planes in (True, False):
+            VorbisConfig.default.s16_plane_transfer = planes
+            out = decode_corpus([data], output="s16")[0]
+            assert out.dtype == np.int16
+            assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1, planes
+    finally:
+        VorbisConfig.default.s16_plane_transfer = saved
+    # the signal actually clips (the rails are exercised)
+    assert (np.abs(want.astype(np.int32)) >= 32767).any()
