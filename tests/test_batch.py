@@ -137,3 +137,20 @@ def test_batch_eight_channels():
     got = decode_file_batch(data)
     assert got.shape == ref.shape and got.shape[0] == 8
     assert np.abs(ref - got).max() <= TOL
+
+
+def test_gmap_tier_i32_matches_u16():
+    """Forcing the 32-bit gather-map tier (large merged chunks) decodes
+    identically to the default 16-bit tier."""
+    from vorbispizza_tpu.models.pipeline import BatchSynthesizer
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(make_signal(2, 0.8, kind="music", seed=5), quality=0.4)
+    ref = decode_file_batch(data)
+    saved = BatchSynthesizer.GMAP_U16_MAX
+    try:
+        BatchSynthesizer.GMAP_U16_MAX = 0  # every bucket takes the i32 tier
+        got = decode_file_batch(data)
+    finally:
+        BatchSynthesizer.GMAP_U16_MAX = saved
+    np.testing.assert_array_equal(got, ref)

@@ -272,6 +272,10 @@ class BatchSynthesizer:
             (flat_base + sup_start - offsets_eff).astype(np.int32),  # fbase-off
         )
 
+    #: largest packed-row count still addressable by the 16-bit gather-map
+    #: tier (65535 minus the zero row); tests lower it to force the i32 tier
+    GMAP_U16_MAX = 65534
+
     #: sparse-residue packing granularity (columns per block). Residue
     #: spectra are 80-98% zero in practice; nonzero 32-column blocks are
     #: shipped packed (int16 when the values are integral — they are sums of
@@ -287,8 +291,10 @@ class BatchSynthesizer:
         copies per stream into 4 — transfer count, not bytes, dominates
         latency on thin interconnects.
 
-        ``padded_n`` per bucket: (Fp, n, Kp, ptag) — padded rows, blocksize,
-        padded packed-block count, packed dtype tag."""
+        ``padded_n`` per bucket: (Fp, n, Kp, ptag, gtag) — padded rows,
+        blocksize, padded packed-block count, packed dtype tag, gather-map
+        dtype tag ("u16" rides the i16 buffer bit-cast; "i32" when the
+        packed-row count exceeds 16 bits)."""
         counts = {"f32": 0, "i32": 0, "i16": 0, "u8": 0}
         PG = BatchSynthesizer.PACK_GRAN
 
@@ -299,11 +305,14 @@ class BatchSynthesizer:
             return (tag, off, shape)
 
         entries = []
-        for (key, metas), (Fp, n, Kp, ptag) in zip(statics, padded_n):
+        for (key, metas), (Fp, n, Kp, ptag, gtag) in zip(statics, padded_n):
             half = n // 2
             npart = half // PG
             e = {
-                "gmap": slot("i32", (Fp * channels * npart,)),
+                "gmap": slot(
+                    "i16" if gtag == "u16" else "i32",
+                    (Fp * channels * npart,),
+                ),
                 # "u8b" = int8 values shipped +128-biased in the u8 buffer
                 "packed": slot("u8" if ptag == "u8b" else ptag, (Kp, PG)),
                 "groups": [],
@@ -354,7 +363,7 @@ class BatchSynthesizer:
                 return v.astype(bool) if bool_ else v
 
             flats = []
-            for (key, metas), e, (Fp, n, Kp, ptag) in zip(
+            for (key, metas), e, (Fp, n, Kp, ptag, gtag) in zip(
                 statics, entries, padded_n
             ):
                 half = n // 2
@@ -379,6 +388,11 @@ class BatchSynthesizer:
                 # sparse residue expansion: gather packed nonzero blocks
                 packed = take(e["packed"])  # [Kp, PG]; row 0 decodes to zero
                 gmap = take(e["gmap"])  # [Fp*C*npart]
+                if gtag == "u16":
+                    # u16 row indices ride the i16 buffer bit-for-bit
+                    gmap = jax.lax.bitcast_convert_type(
+                        gmap, jnp.uint16
+                    ).astype(jnp.int32)
                 residues = (
                     jnp.take(packed, gmap, axis=0)
                     .reshape(Fp, C, half)
@@ -507,9 +521,13 @@ class BatchSynthesizer:
                 )
             gmap = np.zeros(F * C * npart, dtype=np.int32)
             gmap[nz] = 1 + np.arange(K, dtype=np.int32)
+            # the gather map is a large fraction of the transfer (one index
+            # per PG-column block); 16-bit indices suffice until a merged
+            # chunk carries >64Ki nonzero blocks in one bucket
+            gtag = "u16" if K <= self.GMAP_U16_MAX else "i32"
             packs.append((gmap, rows, K, ptag))
             padded_n.append(
-                (_pad_size(max(F, 1)), b.n, _pad_size(K + 1), ptag)
+                (_pad_size(max(F, 1)), b.n, _pad_size(K + 1), ptag, gtag)
             )
         statics = tuple(
             (b.key, metas) for b, metas in zip(buckets, metas_per)
@@ -531,6 +549,8 @@ class BatchSynthesizer:
             buckets, entries, metas_per, packs
         ):
             tag, off, shape = e["gmap"]
+            if tag == "i16":
+                gmap = gmap.astype(np.uint16).view(np.int16)
             bufs[tag][off : off + len(gmap)] = gmap
             tag, off, shape = e["packed"]
             view = bufs[tag][off : off + int(np.prod(shape))].reshape(shape)
