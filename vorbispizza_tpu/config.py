@@ -25,6 +25,12 @@ class VorbisConfig:
     # in flight on links that compress (the attached tunnel: ~1.4x
     # effective d2h); hosts recombine losslessly. Harmless elsewhere.
     s16_plane_transfer: bool = True
+    # residue wire format: "symbols" ships bit-packed codebook entry
+    # numbers + classifications and expands on device (2-3x smaller than
+    # packed values; bit-exact when every residue book is integer-valued);
+    # "values" ships packed residue values; "auto" = symbols when the
+    # setup is eligible (native/symbols.py symbol_layout)
+    residue_transport: str = "auto"
 
     def clone(self) -> "VorbisConfig":
         """Reference VorbisConfig.Clone():26."""

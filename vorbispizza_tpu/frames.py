@@ -511,6 +511,24 @@ class FloorGroup:
 
 
 @dataclass
+class SymBucket:
+    """Symbol-transport residue payload for one bucket (native/symbols.py
+    wire contract). ``cls`` rows are already in TRAVERSAL order
+    (partition-major, vector-minor) per submap; ``syms[g]`` is group g's
+    entry stream for this bucket's frames, concatenated in frame order.
+    Merges by concatenation along the frame axis (models/corpus.py)."""
+
+    layout: object  # SymLayout (shared per setup)
+    groups: list  # list[SymGroup] for this bucket's mapping
+    # per submap: cls in traversal order [F, Pt*V] u8 (value ncls = no
+    # vector / sentinel) and the (V, Pt) geometry
+    cls: list  # list of np.ndarray [F, Pt*V] u8
+    cls_bits: list  # per submap: wire bit width of one cls value
+    pairs: np.ndarray  # [F, n_sp] i32 applied-pair counts
+    syms: list  # per group (global id): np.ndarray u16 (possibly empty)
+
+
+@dataclass
 class BucketBatch:
     key: BucketKey
     n: int
@@ -518,8 +536,23 @@ class BucketBatch:
     offsets: np.ndarray  # [F] int32 global frame start
     prime: np.ndarray  # [F] bool
     final: np.ndarray  # [F] bool
-    residues: np.ndarray  # [F, C, n//2] float32, pre-coupling
+    residues: np.ndarray | None  # [F, C, n//2] float32, pre-coupling
     floor_groups: list[FloorGroup] = field(default_factory=list)
+    sym: SymBucket | None = None  # symbol transport (residues is None)
+
+    @property
+    def transport_nbytes(self) -> int:
+        """Approximate host->device residue payload (batch sizing)."""
+        if self.residues is not None:
+            return self.residues.nbytes
+        s = self.sym
+        total = s.pairs.shape[0] * 4  # applied-pair counts (few columns)
+        for arr, wc in zip(s.cls, s.cls_bits):
+            total += (arr.size * wc + 7) // 8
+        for g, arr in zip(s.groups, s.syms):
+            w = max(int(g.entries).bit_length(), 1)
+            total += (arr.size * w + 7) // 8
+        return total
 
 
 def extract_batch(
@@ -533,16 +566,49 @@ def extract_batch(
     decode otherwise. Both paths produce identical tensors (double
     accumulation, float32 output). ``use_native=None`` follows
     VorbisConfig.default.use_native_frontend."""
-    if use_native is None:
-        from .config import VorbisConfig
+    from .config import VorbisConfig
 
+    if use_native is None:
         use_native = VorbisConfig.default.use_native_frontend
     if use_native and ident is not None:
         from . import native
 
         if native.available():
-            return _extract_batch_native(plan, setup, channels, ident)
+            transport = VorbisConfig.default.residue_transport
+            layout = None
+            if transport in ("auto", "symbols"):
+                layout = _sym_layout_cached(setup, ident)
+            return _extract_batch_native(
+                plan, setup, channels, ident, sym_layout=layout
+            )
     return _extract_batch_python(plan, setup, channels)
+
+
+def _sym_layout_cached(setup, ident):
+    """symbol_layout(setup) memoized on the setup object (None = setup
+    ineligible for symbol transport; callers use value transport)."""
+    try:
+        return setup._sym_layout
+    except AttributeError:
+        from .native.symbols import symbol_layout
+
+        setup._sym_layout = symbol_layout(setup, ident)
+        return setup._sym_layout
+
+
+def _slice_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Concatenate flat[starts[i] : starts[i]+lens[i]] for all i —
+    vectorized (repeat/cumsum), no per-slice Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    cum = np.cumsum(lens) - lens
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(cum, lens)
+        + np.repeat(starts, lens)
+    )
+    return flat[idx]
 
 
 def _bucket_groups(mapping, channels: int):
@@ -561,7 +627,7 @@ def _bucket_groups(mapping, channels: int):
 
 
 def _extract_batch_native(
-    plan: FramePlan, setup, channels: int, ident
+    plan: FramePlan, setup, channels: int, ident, sym_layout=None
 ) -> list[BucketBatch]:
     from . import native
     from .native.serialize import serialize_setup
@@ -577,13 +643,25 @@ def _extract_batch_native(
     if plan.scan is not None:
         # zero-copy: packet spans point straight into the Ogg scan's blob
         sblob, sstarts, sends = plan.scan
-        dec = native.decode_packet_spans(
-            blob, sblob, sstarts, sends, channels, max_half, max_order
-        )
     else:
         packets = [fr.packet.data for fr in plan.frames]
-        dec = native.decode_packets(
-            blob, packets, channels, max_half, max_order
+        offs = np.zeros(len(packets) + 1, dtype=np.int64)
+        for i, p in enumerate(packets):
+            offs[i + 1] = offs[i] + len(p)
+        sblob = np.frombuffer(b"".join(packets), dtype=np.uint8)
+        sstarts, sends = offs[:-1], offs[1:]
+    if sym_layout is not None:
+        dec = native.decode_packet_spans_sym(
+            blob, sblob, sstarts, sends, channels, max_order, sym_layout
+        )
+        # per-(packet, group) stream starts within each packet's region
+        counts = dec["sym_counts"]
+        goff = np.zeros_like(counts)
+        np.cumsum(counts[:, :-1], axis=1, out=goff[:, 1:])
+        syms_flat = dec["syms"].reshape(-1)
+    else:
+        dec = native.decode_packet_spans(
+            blob, sblob, sstarts, sends, channels, max_half, max_order
         )
     meta = dec["meta"]
     for i, fr in enumerate(plan.frames):
@@ -599,7 +677,42 @@ def _extract_batch_native(
         n = mode.n
         half = n // 2
         idx = np.asarray(indices, dtype=np.int64)
-        residues = dec["residues"][idx][:, :, :half]
+
+        residues = None
+        sym = None
+        if sym_layout is not None:
+            from .native.symbols import _vec_shape
+
+            groups_m = sym_layout.groups_per_mapping[mode.mapping_idx]
+            sym_cap = sym_layout.sym_cap
+            streams = []
+            for gi in range(len(groups_m)):
+                starts = idx * sym_cap + goff[idx, gi]
+                lens = counts[idx, gi].astype(np.int64)
+                streams.append(_slice_gather(syms_flat, starts, lens))
+            cls_list = []
+            cls_bits = []
+            for sm in range(mapping.submaps):
+                r = mapping.submap_residue[sm]
+                ch_list = [c for c in range(channels) if mapping.mux[c] == sm]
+                V, _, _, Pt = _vec_shape(r, half, len(ch_list))
+                rows = ch_list[:1] if r.residue_type == 2 else ch_list
+                # traversal order (partition-major, vector-minor);
+                # 0xFF / out-of-range -> the ncls sentinel (no book)
+                arr = dec["cls"][idx][:, rows, :Pt].transpose(0, 2, 1)
+                arr = np.minimum(arr, r.classifications).reshape(len(idx), -1)
+                cls_list.append(np.ascontiguousarray(arr))
+                cls_bits.append(max(int(r.classifications).bit_length(), 1))
+            sym = SymBucket(
+                layout=sym_layout,
+                groups=groups_m,
+                cls=cls_list,
+                cls_bits=cls_bits,
+                pairs=np.ascontiguousarray(dec["pair_counts"][idx]),
+                syms=streams,
+            )
+        else:
+            residues = np.ascontiguousarray(dec["residues"][idx][:, :, :half])
 
         groups = _bucket_groups(mapping, channels)
         for g in groups:
@@ -626,8 +739,9 @@ def _extract_batch_native(
                 ),
                 prime=np.asarray([plan.frames[i].prime for i in indices], dtype=bool),
                 final=np.asarray([plan.frames[i].final for i in indices], dtype=bool),
-                residues=np.ascontiguousarray(residues),
+                residues=residues,
                 floor_groups=groups,
+                sym=sym,
             )
         )
     return out

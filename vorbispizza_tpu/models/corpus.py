@@ -26,6 +26,7 @@ from ..frames import (
     FloorGroup,
     FrameEntry,
     FramePlan,
+    SymBucket,
     build_plan,
     extract_batch,
 )
@@ -169,6 +170,25 @@ def merge_streams(items):
                     [p[0].floor_groups[gi].amplitude for p in parts]
                 )
             groups.append(g)
+        sym = None
+        if first.sym is not None:
+            # symbol payloads merge by frame-axis concatenation: per-group
+            # streams stay in frame order, so the device's global stream
+            # ranks (ops/residue_sym.py cumsums) keep matching the wire
+            sym = SymBucket(
+                layout=first.sym.layout,
+                groups=first.sym.groups,
+                cls=[
+                    np.concatenate([p[0].sym.cls[si] for p in parts])
+                    for si in range(len(first.sym.cls))
+                ],
+                cls_bits=list(first.sym.cls_bits),
+                pairs=np.concatenate([p[0].sym.pairs for p in parts]),
+                syms=[
+                    np.concatenate([p[0].sym.syms[gi] for p in parts])
+                    for gi in range(len(first.sym.syms))
+                ],
+            )
         out_buckets.append(
             BucketBatch(
                 key=key,
@@ -181,8 +201,13 @@ def merge_streams(items):
                 ),
                 prime=np.concatenate([b.prime for b, _, _ in parts]),
                 final=np.concatenate([b.final for b, _, _ in parts]),
-                residues=np.concatenate([b.residues for b, _, _ in parts]),
+                residues=(
+                    np.concatenate([b.residues for b, _, _ in parts])
+                    if first.residues is not None
+                    else None
+                ),
                 floor_groups=groups,
+                sym=sym,
             )
         )
     plan_m = FramePlan(
@@ -384,7 +409,7 @@ def decode_corpus(
                 key = (id(front[0]), front[1])
                 rec = acc.setdefault(key, [[], 0])
                 rec[0].append(i)
-                rec[1] += sum(b.residues.nbytes for b in front[3])
+                rec[1] += sum(b.transport_nbytes for b in front[3])
                 if rec[1] >= max_batch_bytes:
                     dispatch(sorted(rec[0]), fronts_by_idx)
                     acc[key] = [[], 0]

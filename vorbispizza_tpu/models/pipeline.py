@@ -32,6 +32,7 @@ from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, gather_assemble
 from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
+from ..ops.residue_sym import expand_submap, pack_bits
 from ..setup.mode import window_geometry
 
 
@@ -272,6 +273,88 @@ class BatchSynthesizer:
             (flat_base + sup_start - offsets_eff).astype(np.int32),  # fbase-off
         )
 
+    def _sym_static(self, key):
+        """Structural description of symbol transport for one bucket key
+        (cached): per submap the region geometry, per-pass group lists,
+        class->local-slot tables and VQ value tables (zero row appended for
+        the end-of-packet sentinel). Submap/pass/group enumeration order
+        matches native/symbols.py group_enumeration() and the extract's
+        SymBucket arrays. ``None`` entries mark submaps with no channels or
+        no coded region (their channels decode as zero residue)."""
+        cached = self._fns.get(("symstatic", key))
+        if cached is not None:
+            return cached
+        from ..native.symbols import _vec_shape
+
+        setup = self.setup
+        mode = setup.modes[key.mode_idx]
+        mapping = setup.mappings[mode.mapping_idx]
+        layout = setup._sym_layout
+        groups_m = layout.groups_per_mapping[mode.mapping_idx]
+        half = mode.n // 2
+        cb_index = {id(cb): i for i, cb in enumerate(setup.codebooks)}
+        subs = []
+        col = 0
+        for sm in range(mapping.submaps):
+            r = mapping.submap_residue[sm]
+            ch_list = [
+                c for c in range(self.channels) if mapping.mux[c] == sm
+            ]
+            V, vec_len, limit_begin, Pt = _vec_shape(r, half, len(ch_list))
+            if not ch_list or Pt == 0:
+                subs.append(
+                    {"sm": sm, "ch_list": ch_list, "sig": None, "passes": []}
+                )
+                continue
+            ncls = r.classifications
+            w_c = max(int(ncls).bit_length(), 1)  # values 0..ncls
+            passes = []
+            for p in range(8):
+                pg = [
+                    (gi, g)
+                    for gi, g in enumerate(groups_m)
+                    if g.submap == sm and g.gpass == p
+                ]
+                if not pg:
+                    continue
+                slot_tbl = np.full(ncls + 1, -1, dtype=np.int32)
+                by_book = {g.book_idx: li for li, (gi, g) in enumerate(pg)}
+                for cls in range(ncls):
+                    book = r.books[cls][p]
+                    if book is not None:
+                        slot_tbl[cls] = by_book[cb_index[id(book)]]
+                vqs = [
+                    np.concatenate(
+                        [
+                            np.asarray(
+                                setup.codebooks[g.book_idx].lookup_table,
+                                dtype=np.float32,
+                            ),
+                            np.zeros((1, g.dims), dtype=np.float32),
+                        ]
+                    )
+                    for gi, g in pg
+                ]
+                passes.append(
+                    {"p": p, "col": col, "pg": pg, "slot_tbl": slot_tbl,
+                     "vqs": vqs}
+                )
+                col += 1
+            subs.append(
+                {
+                    "sm": sm,
+                    "ch_list": ch_list,
+                    "sig": (
+                        V, Pt, r.partition_size, limit_begin, vec_len,
+                        r.residue_type == 2, ncls, w_c,
+                    ),
+                    "passes": passes,
+                }
+            )
+        res = {"subs": subs, "na": max(col, 1)}
+        self._fns[("symstatic", key)] = res
+        return res
+
     #: largest packed-row count still addressable by the 16-bit gather-map
     #: tier (65535 minus the zero row); tests lower it to force the i32 tier
     GMAP_U16_MAX = 65534
@@ -305,18 +388,47 @@ class BatchSynthesizer:
             return (tag, off, shape)
 
         entries = []
-        for (key, metas), (Fp, n, Kp, ptag, gtag) in zip(statics, padded_n):
+        for (key, metas), pn in zip(statics, padded_n):
+            Fp, n = pn[0], pn[1]
             half = n // 2
-            npart = half // PG
-            e = {
-                "gmap": slot(
-                    "i16" if gtag == "u16" else "i32",
-                    (Fp * channels * npart,),
-                ),
-                # "u8b" = int8 values shipped +128-biased in the u8 buffer
-                "packed": slot("u8" if ptag == "u8b" else ptag, (Kp, PG)),
-                "groups": [],
-            }
+            if pn[2] == "sym":
+                # symbol transport: bit-packed cls per submap + bit-packed
+                # entry streams per (submap, pass, book) + applied-pair
+                # counts (ops/residue_sym.py)
+                sub_sigs, NA = pn[3], pn[4]
+                e = {
+                    "npairs": slot("i32", (Fp, NA)),
+                    "cls": [],
+                    "syms": [],
+                    "groups": [],
+                }
+                for ss in sub_sigs:
+                    if ss is None:
+                        e["cls"].append(None)
+                        e["syms"].append([])
+                        continue
+                    V, Pt, psize, lb, vl, fmt2, ncls, w_c, passes = ss
+                    cbytes = (Fp * Pt * V * w_c + 7) // 8
+                    e["cls"].append(slot("u8", (cbytes,)))
+                    gs = []
+                    for (p, col, pgroups) in passes:
+                        for (w, d, nsym, fmt1, np_pad) in pgroups:
+                            gs.append(
+                                slot("u8", ((np_pad * nsym * w + 7) // 8,))
+                            )
+                    e["syms"].append(gs)
+            else:
+                Kp, ptag, gtag = pn[2], pn[3], pn[4]
+                npart = half // PG
+                e = {
+                    "gmap": slot(
+                        "i16" if gtag == "u16" else "i32",
+                        (Fp * channels * npart,),
+                    ),
+                    # "u8b" = int8 values shipped +128-biased in the u8 buffer
+                    "packed": slot("u8" if ptag == "u8b" else ptag, (Kp, PG)),
+                    "groups": [],
+                }
             for meta in metas:
                 nc = len(meta["channels"])
                 if meta["type"] == 1:
@@ -363,9 +475,8 @@ class BatchSynthesizer:
                 return v.astype(bool) if bool_ else v
 
             flats = []
-            for (key, metas), e, (Fp, n, Kp, ptag, gtag) in zip(
-                statics, entries, padded_n
-            ):
+            for (key, metas), e, pn in zip(statics, entries, padded_n):
+                Fp, n = pn[0], pn[1]
                 half = n // 2
                 floor_inputs = []
                 for meta, g in zip(metas, e["groups"]):
@@ -385,21 +496,61 @@ class BatchSynthesizer:
                                 "used": take(g["used"], bool_=True),
                             }
                         )
-                # sparse residue expansion: gather packed nonzero blocks
-                packed = take(e["packed"])  # [Kp, PG]; row 0 decodes to zero
-                gmap = take(e["gmap"])  # [Fp*C*npart]
-                if gtag == "u16":
-                    # u16 row indices ride the i16 buffer bit-for-bit
-                    gmap = jax.lax.bitcast_convert_type(
-                        gmap, jnp.uint16
-                    ).astype(jnp.int32)
-                residues = (
-                    jnp.take(packed, gmap, axis=0)
-                    .reshape(Fp, C, half)
-                    .astype(jnp.float32)
-                )
-                if ptag == "u8b":
-                    residues = residues - 128.0  # un-bias (row 0 stored 128)
+                if pn[2] == "sym":
+                    # residue reconstruction from entropy symbols
+                    # (ops/residue_sym.py; wire contract native/symbols.py)
+                    sub_sigs = pn[3]
+                    rt = self._sym_static(key)
+                    npairs = take(e["npairs"])
+                    parts_ch = []
+                    ch_order = []
+                    for si, ss in enumerate(sub_sigs):
+                        sub_rt = rt["subs"][si]
+                        ch_list = sub_rt["ch_list"]
+                        if not ch_list:
+                            continue
+                        ch_order.extend(ch_list)
+                        if ss is None:
+                            parts_ch.append(
+                                jnp.zeros(
+                                    (Fp, len(ch_list), half), jnp.float32
+                                )
+                            )
+                            continue
+                        v = expand_submap(
+                            (*ss, len(ch_list)),
+                            take(e["cls"][si]),
+                            npairs,
+                            [take(s) for s in e["syms"][si]],
+                            [pp["slot_tbl"] for pp in sub_rt["passes"]],
+                            [
+                                vq
+                                for pp in sub_rt["passes"]
+                                for vq in pp["vqs"]
+                            ],
+                            Fp,
+                        )
+                        parts_ch.append(v)
+                    res_cat = jnp.concatenate(parts_ch, axis=1)
+                    inv_ch = np.argsort(np.asarray(ch_order))
+                    residues = res_cat[:, inv_ch, :]
+                else:
+                    Kp, ptag, gtag = pn[2], pn[3], pn[4]
+                    # sparse residue expansion: gather packed nonzero blocks
+                    packed = take(e["packed"])  # [Kp, PG]; row 0 -> zero
+                    gmap = take(e["gmap"])  # [Fp*C*npart]
+                    if gtag == "u16":
+                        # u16 row indices ride the i16 buffer bit-for-bit
+                        gmap = jax.lax.bitcast_convert_type(
+                            gmap, jnp.uint16
+                        ).astype(jnp.int32)
+                    residues = (
+                        jnp.take(packed, gmap, axis=0)
+                        .reshape(Fp, C, half)
+                        .astype(jnp.float32)
+                    )
+                    if ptag == "u8b":
+                        residues = residues - 128.0  # un-bias (row 0 = 128)
                 frames = self._synth_math(
                     key,
                     residues,
@@ -495,16 +646,69 @@ class BatchSynthesizer:
         device execution."""
         PG = self.PACK_GRAN
         metas_per = [self._group_meta(b)[0] for b in buckets]
-        # sparse-pack residues: nonzero PG-column blocks only (+ zero row 0).
-        # Values are sums of small lattice codebook entries, so they are
-        # integral; most buckets fit int8 (shipped biased in the u8 buffer,
-        # "u8b"), the rest int16 — the packed residues dominate host->device
-        # bytes and the interconnect budget is aggregate, so narrower dtypes
-        # translate 1:1 into throughput.
+        # Residue wire format per bucket:
+        #   symbol transport (b.sym) — bit-packed classifications + VQ entry
+        #   streams, expanded on device (2-3x smaller than packed values);
+        #   value transport — sparse-pack residues: nonzero PG-column blocks
+        #   only (+ zero row 0). Values are sums of small lattice codebook
+        #   entries, so they are integral; most buckets fit int8 (shipped
+        #   biased in the u8 buffer, "u8b"), the rest int16. The residue
+        #   payload dominates host->device bytes and the interconnect budget
+        #   is aggregate, so fewer wire bytes translate 1:1 into throughput.
         packs = []
         padded_n = []
         for b in buckets:
-            F, C, half = b.residues.shape
+            F = len(b.frame_indices)
+            Fp = _pad_size(max(F, 1))
+            if b.sym is not None:
+                st = self._sym_static(b.key)
+                sub_sigs = []
+                cls_packed = []
+                syms_packed = []
+                for si, sub in enumerate(st["subs"]):
+                    if sub["sig"] is None:
+                        sub_sigs.append(None)
+                        cls_packed.append(None)
+                        continue
+                    V, Pt, psize, lb, vl, fmt2, ncls, w_c = sub["sig"]
+                    full = np.full((Fp, Pt * V), ncls, dtype=np.uint8)
+                    full[:F] = b.sym.cls[si]
+                    cls_packed.append(pack_bits(full.reshape(-1), w_c))
+                    passes = []
+                    for pp in sub["passes"]:
+                        groups = []
+                        for gi, g in pp["pg"]:
+                            stream = b.sym.syms[gi]
+                            if stream.size % g.nsym:
+                                raise BatchUnsupported(
+                                    "symbol stream not partition-aligned"
+                                )
+                            np_ = stream.size // g.nsym
+                            np_pad = _pad_size(max(np_, 1), 16)
+                            w = max(int(g.entries).bit_length(), 1)
+                            padded = np.full(
+                                np_pad * g.nsym, g.entries, dtype=np.uint32
+                            )
+                            padded[: stream.size] = stream
+                            syms_packed.append(pack_bits(padded, w))
+                            groups.append(
+                                (w, g.dims, g.nsym, g.fmt1, np_pad)
+                            )
+                        passes.append((pp["p"], pp["col"], tuple(groups)))
+                    sub_sigs.append(
+                        (V, Pt, psize, lb, vl, fmt2, ncls, w_c, tuple(passes))
+                    )
+                na = st["na"]
+                npairs = np.zeros((Fp, na), dtype=np.int32)
+                for sub in st["subs"]:
+                    for pp in sub["passes"]:
+                        npairs[:F, pp["col"]] = b.sym.pairs[
+                            :, sub["sm"] * 8 + pp["p"]
+                        ]
+                packs.append(("sym", cls_packed, syms_packed, npairs))
+                padded_n.append((Fp, b.n, "sym", tuple(sub_sigs), na))
+                continue
+            _, C, half = b.residues.shape
             npart = half // PG
             r = b.residues.reshape(F * C * npart, PG)
             nz = np.any(r != 0, axis=1)
@@ -525,10 +729,8 @@ class BatchSynthesizer:
             # per PG-column block); 16-bit indices suffice until a merged
             # chunk carries >64Ki nonzero blocks in one bucket
             gtag = "u16" if K <= self.GMAP_U16_MAX else "i32"
-            packs.append((gmap, rows, K, ptag))
-            padded_n.append(
-                (_pad_size(max(F, 1)), b.n, _pad_size(K + 1), ptag, gtag)
-            )
+            packs.append(("val", gmap, rows, K, ptag))
+            padded_n.append((Fp, b.n, _pad_size(K + 1), ptag, gtag))
         statics = tuple(
             (b.key, metas) for b, metas in zip(buckets, metas_per)
         )
@@ -545,20 +747,31 @@ class BatchSynthesizer:
             view = bufs[tag][off : off + size].reshape(shape)
             view[: value.shape[0]] = value
 
-        for bucket, e, metas, (gmap, rows, K, ptag) in zip(
-            buckets, entries, metas_per, packs
-        ):
-            tag, off, shape = e["gmap"]
-            if tag == "i16":
-                gmap = gmap.astype(np.uint16).view(np.int16)
-            bufs[tag][off : off + len(gmap)] = gmap
-            tag, off, shape = e["packed"]
-            view = bufs[tag][off : off + int(np.prod(shape))].reshape(shape)
-            if ptag == "u8b":
-                view[0] = 128  # biased zero row
-                view[1 : K + 1] = (rows + 128.0).astype(np.uint8)
+        for bucket, e, metas, pk in zip(buckets, entries, metas_per, packs):
+            if pk[0] == "sym":
+                _, cls_packed, syms_packed, npairs = pk
+                put(e["npairs"], npairs)
+                for cslot, cdata in zip(e["cls"], cls_packed):
+                    if cslot is not None:
+                        put(cslot, cdata)
+                flat_slots = [s for gs in e["syms"] for s in gs]
+                for sslot, sdata in zip(flat_slots, syms_packed):
+                    put(sslot, sdata)
             else:
-                view[1 : K + 1] = rows  # row 0 stays all-zero
+                _, gmap, rows, K, ptag = pk
+                tag, off, shape = e["gmap"]
+                if tag == "i16":
+                    gmap = gmap.astype(np.uint16).view(np.int16)
+                bufs[tag][off : off + len(gmap)] = gmap
+                tag, off, shape = e["packed"]
+                view = bufs[tag][off : off + int(np.prod(shape))].reshape(
+                    shape
+                )
+                if ptag == "u8b":
+                    view[0] = 128  # biased zero row
+                    view[1 : K + 1] = (rows + 128.0).astype(np.uint8)
+                else:
+                    view[1 : K + 1] = rows  # row 0 stays all-zero
             put(e["prime"], bucket.prime.astype(np.uint8))
             put(e["final"], bucket.final.astype(np.uint8))
             for g, ge, meta in zip(bucket.floor_groups, e["groups"], metas):

@@ -83,6 +83,24 @@ def _load():
             C.POINTER(C.c_int32),             # f0_amp
             C.c_int,                          # n_threads
         ]
+        lib.vp_decode_packets_sym.restype = C.c_int
+        lib.vp_decode_packets_sym.argtypes = [
+            C.c_char_p, C.c_int64,            # setup blob
+            C.c_void_p,                       # packet bytes base
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.c_int64,  # spans
+            C.POINTER(C.c_int32),             # meta
+            C.POINTER(C.c_int32),             # posts
+            C.POINTER(C.c_uint8),             # step2
+            C.POINTER(C.c_uint8),             # used
+            C.POINTER(C.c_float),             # f0_coeffs
+            C.POINTER(C.c_int32),             # f0_amp
+            C.POINTER(C.c_uint8),             # cls
+            C.POINTER(C.c_uint16),            # syms
+            C.POINTER(C.c_int32),             # sym_counts
+            C.POINTER(C.c_int32),             # pair_counts
+            C.c_int64, C.c_int64, C.c_int64, C.c_int64,  # pt_max/sym_cap/n_groups/n_sp
+            C.c_int,                          # n_threads
+        ]
         _lib = lib
         return _lib
 
@@ -249,4 +267,76 @@ def decode_packet_spans(
         "used": used,
         "f0_coeffs": f0_coeffs,
         "f0_amp": f0_amp,
+    }
+
+
+def decode_packet_spans_sym(
+    blob: bytes,
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    channels: int,
+    max_order: int,
+    layout,
+    n_threads: int | None = None,
+):
+    """Symbol-mode decode (frontend.cpp vp_decode_packets_sym): floors as
+    decode_packet_spans, residues as classifications + VQ entry numbers
+    (see native/symbols.py for the wire contract). ``layout`` is the
+    SymLayout from symbols.symbol_layout().
+
+    Returns the decode_packet_spans dict minus ``residues``, plus
+    cls [P,C,pt_max] u8, syms [P,sym_cap] u16, sym_counts [P,n_groups] i32,
+    pair_counts [P,n_sp] i32."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native front end unavailable: {_build_error}")
+    P = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+
+    meta = np.zeros((P, 4), dtype=np.int32)
+    posts = np.zeros((P, channels, 65), dtype=np.int32)
+    step2 = np.zeros((P, channels, 65), dtype=np.uint8)
+    used = np.zeros((P, channels), dtype=np.uint8)
+    mo = max(max_order, 1)
+    f0_coeffs = np.zeros((P, channels, mo), dtype=np.float32)
+    f0_amp = np.zeros((P, channels), dtype=np.int32)
+    cls = np.empty((P, channels, layout.pt_max), dtype=np.uint8)
+    syms = np.empty((P, layout.sym_cap), dtype=np.uint16)
+    sym_counts = np.zeros((P, layout.n_groups), dtype=np.int32)
+    pair_counts = np.zeros((P, layout.n_sp), dtype=np.int32)
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.vp_decode_packets_sym(
+        blob, len(blob),
+        data.ctypes.data_as(C.c_void_p),
+        _ptr(starts, C.c_int64), _ptr(ends, C.c_int64), P,
+        _ptr(meta, C.c_int32),
+        _ptr(posts, C.c_int32),
+        _ptr(step2, C.c_uint8),
+        _ptr(used, C.c_uint8),
+        _ptr(f0_coeffs, C.c_float),
+        _ptr(f0_amp, C.c_int32),
+        _ptr(cls, C.c_uint8),
+        _ptr(syms, C.c_uint16),
+        _ptr(sym_counts, C.c_int32),
+        _ptr(pair_counts, C.c_int32),
+        layout.pt_max, layout.sym_cap, layout.n_groups, layout.n_sp,
+        int(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"vp_decode_packets_sym failed: {rc}")
+    return {
+        "meta": meta,
+        "posts": posts,
+        "step2": step2,
+        "used": used,
+        "f0_coeffs": f0_coeffs,
+        "f0_amp": f0_amp,
+        "cls": cls,
+        "syms": syms,
+        "sym_counts": sym_counts,
+        "pair_counts": pair_counts,
     }

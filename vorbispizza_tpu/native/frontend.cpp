@@ -164,7 +164,37 @@ struct Setup {
     std::vector<ModeV> modes;
     uint32_t max_half;   // bs1 / 2
     uint32_t max_order;  // max floor0 order (0 if none)
+    // symbol-transport group table: per mapping, slot = groups[sm*8*n_cb +
+    // pass*n_cb + book_id] (-1 = book unused in that (submap, pass)).
+    // Enumeration order — submap-major, pass, ascending book id — must match
+    // native/symbols.py group_enumeration() exactly.
+    std::vector<std::vector<int32_t>> group_of;
+    std::vector<int32_t> n_groups_of;
 };
+
+void build_group_tables(Setup& s) {
+    size_t n_cb = s.codebooks.size();
+    s.group_of.resize(s.mappings.size());
+    s.n_groups_of.assign(s.mappings.size(), 0);
+    for (size_t m = 0; m < s.mappings.size(); m++) {
+        const MappingV& map = s.mappings[m];
+        std::vector<int32_t>& tbl = s.group_of[m];
+        tbl.assign(map.n_submaps * 8 * n_cb, -1);
+        int32_t slot = 0;
+        for (uint32_t sm = 0; sm < map.n_submaps; sm++) {
+            const ResidueV& r = s.residues[map.submap_residue[sm]];
+            for (int p = 0; p < 8; p++) {
+                for (size_t b = 0; b < n_cb; b++) {  // ascending book id
+                    bool used = false;
+                    for (uint32_t c = 0; c < r.ncls && !used; c++)
+                        used = r.books[(size_t)c * 8 + p] == (int32_t)b;
+                    if (used) tbl[(sm * 8 + p) * n_cb + b] = slot++;
+                }
+            }
+        }
+        s.n_groups_of[m] = slot;
+    }
+}
 
 struct BlobReader {
     const uint8_t* p;
@@ -483,6 +513,103 @@ void residue_decode_core(const ResidueV& r, const Setup& s, BitReader& br,
     }
 }
 
+// ---------------------------------------------------- residue (symbol mode)
+//
+// Symbol-level transport: instead of expanding VQ entries into dense
+// spectra on the host, record (a) the per-partition classifications and
+// (b) the raw codebook entry numbers, grouped by (submap, pass, book) in
+// traversal order. The device reconstructs the residue exactly (the VQ
+// tables ride along as compiled constants) — the wire carries the entropy
+// symbols, which are 2-4x smaller than packed residue values. The
+// expansion contract (traversal order, EOP prefix semantics, padding) is
+// documented and mirrored in native/symbols.py expand_symbols().
+
+struct SymOut {
+    uint8_t* cls;          // [P, C, pt_max], 0xFF = not decoded
+    uint16_t* syms;        // [P, sym_cap] group-major per packet
+    int32_t* sym_counts;   // [P, n_groups]
+    int32_t* pair_counts;  // [P, n_sp]: applied pairs per (submap, pass)
+    int64_t pt_max, sym_cap, n_groups, n_sp;
+};
+
+struct SymScratch {
+    std::vector<std::vector<uint16_t>> grp;
+    std::vector<int32_t> pairs;
+};
+
+// 0 = EOP before any symbol (pair not applied), 1 = partial (padded with
+// the zero-row sentinel), 2 = full partition
+int decode_partition_sym(const CodebookV& book, BitReader& br,
+                         std::vector<uint16_t>& out, int64_t psize,
+                         bool fmt1) {
+    int64_t dims = book.dims;
+    int64_t nsym = fmt1 ? (psize + dims - 1) / dims : psize / dims;
+    uint16_t sentinel = (uint16_t)book.entries;
+    for (int64_t k = 0; k < nsym; k++) {
+        int sym = book.decode_scalar(br);
+        if (sym < 0) {
+            if (k == 0) return 0;
+            for (int64_t q = k; q < nsym; q++) out.push_back(sentinel);
+            return 1;
+        }
+        out.push_back((uint16_t)sym);
+    }
+    return 2;
+}
+
+// traversal identical to residue_decode_core; records instead of expanding
+void residue_core_sym(const ResidueV& r, const Setup& s, BitReader& br,
+                      int n_ch, const bool* do_not_decode,
+                      int64_t actual_size, bool force_format1,
+                      uint8_t** cls_rows, const int32_t* grp_tbl,
+                      size_t n_cb, int sm, SymScratch& sy) {
+    int64_t limit_begin = r.begin < actual_size ? r.begin : actual_size;
+    int64_t limit_end = r.end < actual_size ? r.end : actual_size;
+    int64_t n_to_read = limit_end - limit_begin;
+    if (n_to_read <= 0) return;
+    int64_t psize = r.psize;
+    int64_t partitions_to_read = n_to_read / psize;
+    const CodebookV& classbook = s.codebooks[r.classbook];
+    int64_t cwords = classbook.dims;
+    bool fmt1 = force_format1 || r.rtype != 0;
+    int64_t ncls = r.ncls;
+
+    for (int p = 0; p < 8; p++) {
+        int64_t partition_count = 0;
+        while (partition_count < partitions_to_read) {
+            if (p == 0) {
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    int64_t temp = classbook.decode_scalar(br);
+                    if (temp < 0) return;  // EOP: keep partial data
+                    for (int64_t i = cwords - 1; i >= 0; i--) {
+                        if (partition_count + i < partitions_to_read)
+                            cls_rows[j][partition_count + i] =
+                                (uint8_t)(temp % ncls);
+                        temp /= ncls;
+                    }
+                }
+            }
+            for (int64_t w = 0; w < cwords; w++) {
+                if (partition_count >= partitions_to_read) break;
+                for (int j = 0; j < n_ch; j++) {
+                    if (do_not_decode[j]) continue;
+                    uint8_t cls = cls_rows[j][partition_count];
+                    if (cls == 0xFF || cls >= ncls) continue;
+                    int32_t book_idx = r.books[(size_t)cls * 8 + p];
+                    if (book_idx < 0) continue;
+                    int32_t slot = grp_tbl[(size_t)p * n_cb + book_idx];
+                    int st = decode_partition_sym(
+                        s.codebooks[book_idx], br, sy.grp[slot], psize, fmt1);
+                    if (st >= 1) sy.pairs[sm * 8 + p] += 1;
+                    if (st <= 1) return;  // EOP
+                }
+                partition_count++;
+            }
+        }
+    }
+}
+
 // ---------------------------------------------------------------- packet decode
 
 struct Outputs {
@@ -503,7 +630,8 @@ struct Scratch {
 };
 
 void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
-                const Outputs& o, Scratch& sc) {
+                const Outputs& o, Scratch& sc, const SymOut* so = nullptr,
+                SymScratch* sy = nullptr) {
     int32_t* meta = o.meta + pkt * 4;
     meta[0] = 0;
     if (len <= 0) return;
@@ -557,7 +685,63 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
         }
     }
 
-    // 3. residue decode per submap -> double accumulators -> f32 out
+    // 3a. symbol mode: record classifications + VQ entry numbers, no
+    // expansion (the device reconstructs; see native/symbols.py)
+    if (so) {
+        size_t n_cb = s.codebooks.size();
+        const int32_t* grp_map = s.group_of[mode.mapping_idx].data();
+        int32_t n_groups_m = s.n_groups_of[mode.mapping_idx];
+        for (auto& v : sy->grp) v.clear();
+        sy->pairs.assign((size_t)so->n_sp, 0);
+        for (uint32_t sm = 0; sm < map.n_submaps; sm++) {
+            int ch_list[256];
+            int n_ch = 0;
+            for (uint32_t c = 0; c < C; c++)
+                if (map.mux[c] == sm) ch_list[n_ch++] = (int)c;
+            if (n_ch == 0) continue;
+            const ResidueV& r = s.residues[map.submap_residue[sm]];
+            const int32_t* grp_tbl = grp_map + (size_t)sm * 8 * n_cb;
+            uint8_t* rows[256];
+            bool dnd[256];
+            if (r.rtype == 2) {
+                bool all_dnd = true;
+                for (int j = 0; j < n_ch; j++) all_dnd &= no_residue[ch_list[j]];
+                if (all_dnd) continue;
+                rows[0] = so->cls + (pkt * C + ch_list[0]) * so->pt_max;
+                dnd[0] = false;
+                residue_core_sym(r, s, br, 1, dnd, (int64_t)half * n_ch, true,
+                                 rows, grp_tbl, n_cb, (int)sm, *sy);
+            } else {
+                for (int j = 0; j < n_ch; j++) {
+                    rows[j] = so->cls + (pkt * C + ch_list[j]) * so->pt_max;
+                    dnd[j] = no_residue[ch_list[j]];
+                }
+                residue_core_sym(r, s, br, n_ch, dnd, half, false, rows,
+                                 grp_tbl, n_cb, (int)sm, *sy);
+            }
+        }
+        // flush group streams (group-major) + counters for this packet
+        uint16_t* sdst = so->syms + pkt * so->sym_cap;
+        int32_t* cnt = so->sym_counts + pkt * so->n_groups;
+        int64_t wpos = 0;
+        for (int32_t g = 0; g < n_groups_m; g++) {
+            const auto& v = sy->grp[g];
+            if (wpos + (int64_t)v.size() > so->sym_cap) {
+                meta[0] = 0;  // capacity bug: fail the frame loudly
+                return;
+            }
+            cnt[g] = (int32_t)v.size();
+            if (!v.empty())
+                std::memcpy(sdst + wpos, v.data(), v.size() * 2);
+            wpos += (int64_t)v.size();
+        }
+        int32_t* pc = so->pair_counts + pkt * so->n_sp;
+        for (int64_t k = 0; k < so->n_sp; k++) pc[k] = sy->pairs[(size_t)k];
+        return;
+    }
+
+    // 3b. value mode: residue decode per submap -> double accumulators ->
+    // f32 out
     sc.acc.assign((size_t)C * s.max_half, 0.0);
     float* res_out = o.residues + pkt * C * s.max_half;
 
@@ -633,6 +817,60 @@ int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
         for (int64_t i = lo; i < hi; i++) {
             decode_one(s, pkt_data + pkt_start[i], pkt_end[i] - pkt_start[i],
                        i, o, sc);
+        }
+    };
+
+    if (n_threads == 1) {
+        work(0, n_pkts);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t chunk = (n_pkts + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; t++) {
+            int64_t lo = t * chunk;
+            int64_t hi = lo + chunk < n_pkts ? lo + chunk : n_pkts;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}
+
+// Symbol-mode variant: floors as vp_decode_packets, residues recorded as
+// per-partition classifications + VQ entry numbers grouped by
+// (submap, pass, book). No dense expansion — the wire carries the entropy
+// symbols; the device (models/pipeline.py) or native/symbols.py
+// expand_symbols() reconstructs the exact residue vectors.
+int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
+                          const uint8_t* pkt_data, const int64_t* pkt_start,
+                          const int64_t* pkt_end, int64_t n_pkts,
+                          int32_t* meta, int32_t* posts, uint8_t* step2,
+                          uint8_t* used, float* f0_coeffs, int32_t* f0_amp,
+                          uint8_t* cls, uint16_t* syms, int32_t* sym_counts,
+                          int32_t* pair_counts, int64_t pt_max,
+                          int64_t sym_cap, int64_t n_groups, int64_t n_sp,
+                          int n_threads) {
+    Setup s;
+    if (!parse_setup(blob, blob_len, s)) return -1;
+    if (s.channels > 256) return -2;
+    build_group_tables(s);
+    for (int32_t g : s.n_groups_of)
+        if (g > n_groups) return -4;  // group table disagreement with caller
+    Outputs o{meta, nullptr, posts, step2, used, f0_coeffs, f0_amp};
+    SymOut so{cls, syms, sym_counts, pair_counts,
+              pt_max, sym_cap, n_groups, n_sp};
+    std::memset(cls, 0xFF, (size_t)(n_pkts * s.channels * pt_max));
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > (int)n_pkts) n_threads = (int)(n_pkts > 0 ? n_pkts : 1);
+
+    auto work = [&](int64_t lo, int64_t hi) {
+        Scratch sc;
+        SymScratch sy;
+        sy.grp.resize((size_t)n_groups);
+        for (int64_t i = lo; i < hi; i++) {
+            decode_one(s, pkt_data + pkt_start[i], pkt_end[i] - pkt_start[i],
+                       i, o, sc, &so, &sy);
         }
     };
 
