@@ -180,9 +180,10 @@ def test_decode_corpus_mixed_setups():
 
 
 def test_decode_corpus_s16_clipping_extremes():
-    """Byte-plane s16 wire format at the clip rails: a hot signal (inter-
-    sample peaks past full scale) must quantize identically to the scalar
-    s16 definition through the plane transport."""
+    """Every s16 wire format at the clip rails: a hot signal (inter-sample
+    peaks past full scale) must quantize identically to the scalar s16
+    definition through each transport (delta block-pack, byte planes,
+    raw)."""
     from vorbispizza_tpu.config import VorbisConfig
     from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
 
@@ -194,14 +195,19 @@ def test_decode_corpus_s16_clipping_extremes():
         -32768,
         32767,
     ).astype(np.int16)
-    saved = VorbisConfig.default.s16_plane_transfer
+    saved = VorbisConfig.default.s16_wire
+    outs = {}
     try:
-        for planes in (True, False):
-            VorbisConfig.default.s16_plane_transfer = planes
+        for wire in ("dpack", "planes", "raw"):
+            VorbisConfig.default.s16_wire = wire
             out = decode_corpus([data], output="s16")[0]
             assert out.dtype == np.int16
-            assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1, planes
+            assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1, wire
+            outs[wire] = out
     finally:
-        VorbisConfig.default.s16_plane_transfer = saved
+        VorbisConfig.default.s16_wire = saved
+    # all wire formats are lossless: identical bytes
+    assert np.array_equal(outs["dpack"], outs["raw"])
+    assert np.array_equal(outs["planes"], outs["raw"])
     # the signal actually clips (the rails are exercised)
     assert (np.abs(want.astype(np.int32)) >= 32767).any()

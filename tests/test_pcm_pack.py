@@ -1,0 +1,81 @@
+"""Delta block-pack s16 wire codec (ops/pcm_pack.py): lossless round-trip
+across content classes, block-boundary and width-escalation edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vorbispizza_tpu.ops.pcm_pack import BLOCK, WIDTHS, pack_pcm, unpack_pcm
+
+
+def roundtrip(q: np.ndarray) -> int:
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
+    nb = int(nbytes)
+    got = unpack_pcm(
+        np.asarray(packed[:nb]), np.asarray(widx), q.shape[0], q.shape[1]
+    )
+    assert np.array_equal(got, q.astype(np.int16)), "round-trip mismatch"
+    return nb
+
+
+@pytest.mark.parametrize(
+    "shape,kind",
+    [
+        ((2, 44100), "noise"),
+        ((2, 70001), "smooth"),  # non-multiple of BLOCK
+        ((1, 257), "zeros"),
+        ((3, 1000), "rails"),  # full-scale alternation (the 18-bit escape)
+        ((6, 12800), "quiet"),
+        ((1, 1), "single"),
+        ((2, BLOCK), "oneblock"),
+    ],
+)
+def test_roundtrip(shape, kind):
+    rng = np.random.default_rng(7)
+    C, L = shape
+    if kind == "noise":
+        q = rng.integers(-32768, 32768, size=shape)
+    elif kind == "smooth":
+        q = np.cumsum(rng.integers(-50, 51, size=shape), axis=1).clip(
+            -32768, 32767
+        )
+    elif kind == "zeros":
+        q = np.zeros(shape, dtype=np.int64)
+    elif kind == "rails":
+        q = np.tile(np.array([[-32768, 32767]]), (C, L // 2))[:, :L]
+    elif kind == "quiet":
+        q = rng.integers(-3, 4, size=shape)
+    else:
+        q = rng.integers(-32768, 32768, size=shape)
+    roundtrip(q.astype(np.int32))
+
+
+def test_compresses_smooth_audio():
+    rng = np.random.default_rng(1)
+    t = np.arange(44100 * 2, dtype=np.float64)
+    sig = 0.3 * np.sin(2 * np.pi * 220 * t / 44100) + 0.05 * np.sin(
+        2 * np.pi * 1761 * t / 44100
+    )
+    q = np.rint(sig * 32767).astype(np.int32)[None, :]
+    nb = roundtrip(q)
+    # tonal content at this amplitude needs ~10 bits/sample of d2
+    assert nb < 0.7 * q.size * 2, (nb, q.size * 2)
+
+
+def test_every_width_exercised():
+    """One block per width class: max |d2| placed to force each width."""
+    qs = []
+    for w in WIDTHS:
+        peak = 0 if w == 0 else ((1 << w) - 1) // 2
+        blk = np.zeros(BLOCK, dtype=np.int64)
+        # d2 spike of +peak at the block start (double cumsum keeps values
+        # in range for one block since we reset with a negative spike)
+        blk[0] = peak
+        blk[1] = -2 * peak
+        blk[2] = peak
+        qs.append(np.cumsum(np.cumsum(blk)))
+    q = np.concatenate(qs)[None, :].clip(-32768, 32767)
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
+    roundtrip(q)
+    assert len(set(np.asarray(widx).tolist())) >= len(WIDTHS) - 2

@@ -21,10 +21,16 @@ class VorbisConfig:
     use_pallas_ola: bool | None = None  # None = auto (TPU only)
     corpus_workers: int = 8  # front-end thread pool size
     corpus_batch_bytes: int = 12 << 20  # merged-transfer cap per execution
-    # ship s16 PCM as biased byte planes (lo, hi): the hi plane compresses
-    # in flight on links that compress (the attached tunnel: ~1.4x
-    # effective d2h); hosts recombine losslessly. Harmless elsewhere.
-    s16_plane_transfer: bool = True
+    # s16 PCM wire format for host delivery (all lossless):
+    #   "dpack"  — delta block-pack (ops/pcm_pack.py): second difference +
+    #              per-128-sample-block bit width, ~3x fewer bytes than raw
+    #              on typical audio, deterministic (no reliance on in-flight
+    #              link compression)
+    #   "planes" — biased byte planes (lo, hi): the hi plane compresses in
+    #              flight on links that compress (~1.4x when the tunnel's
+    #              compressor is active)
+    #   "raw"    — int16 as-is
+    s16_wire: str = "dpack"
     # residue wire format: "symbols" ships bit-packed codebook entry
     # numbers + classifications and expands on device (2-3x smaller than
     # packed values; bit-exact when every residue book is integer-valued);

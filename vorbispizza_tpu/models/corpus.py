@@ -295,7 +295,9 @@ def decode_corpus(
     if max_batch_bytes is None:
         max_batch_bytes = cfg.corpus_batch_bytes
     if output == "s16":
-        fmt = "s16p" if cfg.s16_plane_transfer else "s16"
+        fmt = {"dpack": "s16d", "planes": "s16p", "raw": "s16"}.get(
+            cfg.s16_wire, "s16d"
+        )
     else:
         fmt = "f32"
 
@@ -309,17 +311,36 @@ def decode_corpus(
 
     t = timer if timer is not None else _NullTimer()
 
+    pulled_bytes = [0]
+
     def finish(arr):
         if output == "device":
             return arr
         if output == "s16":
+            if isinstance(arr, tuple) and arr[0] == "dpack":
+                from ..ops.pcm_pack import unpack_pcm
+
+                _, packed, nbytes, widx, out_len, total = arr
+                nb = int(nbytes)
+                # pull only the packed bytes (quantized slice lengths so
+                # repeated pulls reuse the tiny device slice programs)
+                qnb = min(
+                    int(packed.shape[0]), -(-max(nb, 1) // (256 << 10)) * (256 << 10)
+                )
+                data = np.asarray(packed[:qnb])[:nb]
+                wtab = np.asarray(widx)
+                pulled_bytes[0] += qnb + wtab.nbytes + 4
+                C = wtab.shape[0] * 128 // out_len
+                return unpack_pcm(data, wtab, C, out_len)[:, :total]
             host = np.asarray(arr)
+            pulled_bytes[0] += host.nbytes
             if host.ndim == 3:
                 # byte planes [2, C, L] u8 -> int16, losslessly
                 pcm = ((host[1].astype(np.int32) << 8) | host[0]) - 32768
                 return pcm.astype(np.int16)
             return host
         pcm = np.array(arr, dtype=np.float32)
+        pulled_bytes[0] += pcm.nbytes
         if clip_samples:
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
         return pcm
@@ -384,9 +405,15 @@ def decode_corpus(
             return
         if output != "device":
             # start the device->host copy now so it overlaps later chunks'
-            # transfers/execution instead of serializing at the end
+            # transfers/execution instead of serializing at the end (for
+            # the dpack wire only the small arrays are known-size; the
+            # packed payload is pulled as a sized slice at collect)
             try:
-                merged_out.copy_to_host_async()
+                if isinstance(merged_out, tuple):
+                    merged_out[2].copy_to_host_async()  # nbytes
+                    merged_out[3].copy_to_host_async()  # width table
+                else:
+                    merged_out.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
         pending.append((chunk, pcm_lengths, merged_out))
@@ -419,11 +446,6 @@ def decode_corpus(
 
     with t.stage("collect"):
         for chunk, pcm_lengths, merged_out in pending:
-            if output != "device":
-                t.count(
-                    "d2h_bytes",
-                    int(np.prod(merged_out.shape)) * merged_out.dtype.itemsize,
-                )
             if output == "device":
                 c = 0
                 for i, ln in zip(chunk, pcm_lengths):
@@ -435,4 +457,5 @@ def decode_corpus(
                 for i, ln in zip(chunk, pcm_lengths):
                     outs[i] = host[:, c : c + ln]
                     c += ln
+        t.count("d2h_bytes", pulled_bytes[0])
     return outs

@@ -2,15 +2,19 @@
 tensors to PCM.
 
 The flagship compute path of the framework. The host front end (frames.py)
-emits sparse-packed per-bucket tensors in four typed transfer buffers;
+emits per-bucket tensors packed into four typed transfer buffers;
 everything from there to PCM runs on device as a single program:
 
-    sparse residue expansion (block gather) -> floor curves (ops/floor,
-    gather-free one-hot MXU contractions) -> coupling inverse
+    residue reconstruction — from bit-packed entropy SYMBOLS
+    (ops/residue_sym, the default: codebook entry numbers expand on device
+    via table lookups + cumsum ranking + one row gather per cascade pass)
+    or from sparse-packed VALUES (block gather fallback) -> floor curves
+    (ops/floor, gather-free one-hot MXU contractions) -> coupling inverse
     (ops/coupling) -> spectrum = residue * floor -> IMDCT + window
     (ops/imdct, compensated MXU matmul) -> priming/final masks ->
     overlap-add (ops/ola_pallas per-hop DMA kernel; two-gather fallback
-    for granule-trimmed streams) -> optional s16 quantize
+    for granule-trimmed streams) -> s16 quantize + wire packing (raw /
+    byte planes / delta block-pack, ops/pcm_pack)
 
 Replaces the reference's serial packet loop + per-channel IMDCT + lapping
 (NVorbis/StreamDecoder.cs:640-791) with frame-parallel device math; the
@@ -32,6 +36,7 @@ from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, gather_assemble
 from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
+from ..ops.pcm_pack import pack_pcm
 from ..ops.residue_sym import expand_submap, pack_bits
 from ..setup.mode import window_geometry
 
@@ -603,7 +608,7 @@ class BatchSynthesizer:
                 a_idx = jnp.take(fbase_off, a) + pos
                 b_idx = jnp.take(fbase_off, b) + pos
                 pcm = gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
-            if output in ("s16", "s16p"):
+            if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
                 clipped = jnp.clip(pcm, -CLIP_MAX, CLIP_MAX)
@@ -611,6 +616,10 @@ class BatchSynthesizer:
                 q = jnp.clip(jnp.round(scaled), -32768.0, 32767.0).astype(
                     jnp.int32
                 )
+                if output == "s16d":
+                    # delta block-pack wire (ops/pcm_pack.py): ~3x fewer
+                    # device->host bytes than raw s16 on typical audio
+                    return pack_pcm(q)
                 if output == "s16p":
                     # byte-plane wire format [2, C, L] u8 (lo, hi biased):
                     # the hi plane is slowly varying and compresses well on
@@ -858,9 +867,14 @@ class BatchSynthesizer:
         device_args = tuple(jax.device_put(x, device) for x in host_args)
         return sig, device_args, total
 
-    def run(self, sig, device_args, total) -> jax.Array:
+    def run(self, sig, device_args, total):
         fn = self._fused_fn(sig)
         out = fn(*device_args)
+        if sig[5] == "s16d":
+            # delta block-pack: (packed u8, nbytes, width table) covering
+            # the PADDED output; callers unpack then keep [:, :total]
+            packed, nbytes, widx = out
+            return ("dpack", packed, nbytes, widx, sig[3], total)
         # output is padded to the quantized out_len in every position mode;
         # the kept samples occupy the first `total` columns in order
         # (last axis also for the [2, C, L] byte-plane format)
