@@ -83,6 +83,14 @@ def _load():
             C.POINTER(C.c_int32),             # f0_amp
             C.c_int,                          # n_threads
         ]
+        lib.vp_unpack_pcm.restype = C.c_int
+        lib.vp_unpack_pcm.argtypes = [
+            C.POINTER(C.c_uint8), C.c_int64,   # packed data
+            C.POINTER(C.c_uint8), C.c_int64,   # width table
+            C.c_int64, C.c_int64,              # C, L
+            C.POINTER(C.c_int16),              # out
+            C.c_int,                           # n_threads
+        ]
         lib.vp_decode_packets_sym.restype = C.c_int
         lib.vp_decode_packets_sym.argtypes = [
             C.c_char_p, C.c_int64,            # setup blob
@@ -268,6 +276,31 @@ def decode_packet_spans(
         "f0_coeffs": f0_coeffs,
         "f0_amp": f0_amp,
     }
+
+
+def unpack_pcm(data: np.ndarray, widx: np.ndarray, channels: int, length: int):
+    """Delta block-pack s16 unpack (frontend.cpp vp_unpack_pcm) ->
+    int16 [channels, length], or None when the native library is missing
+    (callers fall back to the numpy unpack in ops/pcm_pack.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    # the C unpacker reads up to 7 bytes past the last block (one unaligned
+    # 8-byte load); give it slack
+    buf = np.empty(data.size + 8, dtype=np.uint8)
+    buf[: data.size] = data
+    widx = np.ascontiguousarray(widx, dtype=np.uint8)
+    out = np.empty((channels, length), dtype=np.int16)
+    rc = lib.vp_unpack_pcm(
+        _ptr(buf, C.c_uint8), int(data.size),
+        _ptr(widx, C.c_uint8), int(widx.size),
+        int(channels), int(length),
+        _ptr(out, C.c_int16),
+        min(os.cpu_count() or 1, max(int(channels), 1)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def decode_packet_spans_sym(

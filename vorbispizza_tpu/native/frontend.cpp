@@ -890,6 +890,80 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
     return 0;
 }
 
+// Delta block-pack s16 PCM unpack (wire format: ops/pcm_pack.py).
+// Blocks of 128 zigzagged second-difference values, LSB-first bit-packed at
+// the per-block width W[widx[b]]; double prefix-sum restores the samples.
+// Threaded per channel (each channel's byte region is found by a prefix
+// walk over its blocks' widths).
+int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
+                  int64_t nbt, int64_t C, int64_t L, int16_t* out,
+                  int n_threads) {
+    static const int W[9] = {0, 2, 4, 6, 8, 10, 12, 16, 18};
+    if (C <= 0 || nbt % C != 0) return -1;
+    int64_t NB = nbt / C;
+    if (NB * 128 < L) return -1;
+    // per-channel byte offsets (blocks are laid out channel-major)
+    std::vector<int64_t> ch_off(C + 1, 0);
+    for (int64_t c = 0; c < C; c++) {
+        int64_t bytes = 0;
+        for (int64_t b = 0; b < NB; b++) {
+            uint8_t wi = widx[c * NB + b];
+            if (wi > 8) return -2;
+            bytes += 16 * W[wi];
+        }
+        ch_off[c + 1] = ch_off[c] + bytes;
+    }
+    if (ch_off[C] > nbytes) return -3;
+
+    auto work = [&](int64_t c0, int64_t c1) {
+        for (int64_t c = c0; c < c1; c++) {
+            const uint8_t* p = data + ch_off[c];
+            int64_t acc1 = 0, acc2 = 0;
+            int16_t* dst = out + c * L;
+            for (int64_t b = 0; b < NB; b++) {
+                int w = W[widx[c * NB + b]];
+                int64_t base = b * 128;
+                if (w == 0) {
+                    // all-zero d2: both accumulators advance linearly
+                    for (int i = 0; i < 128; i++) {
+                        acc2 += acc1;
+                        int64_t s = base + i;
+                        if (s < L) dst[s] = (int16_t)acc2;
+                    }
+                    continue;
+                }
+                uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
+                for (int i = 0; i < 128; i++) {
+                    int64_t bit = (int64_t)i * w;
+                    uint64_t v8;
+                    std::memcpy(&v8, p + (bit >> 3), 8);  // block is >=32B
+                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
+                    int64_t d2 = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                    acc1 += d2;
+                    acc2 += acc1;
+                    int64_t s = base + i;
+                    if (s < L) dst[s] = (int16_t)acc2;
+                }
+                p += 16 * w;
+            }
+        }
+    };
+    if (n_threads <= 1 || C == 1) {
+        work(0, C);
+    } else {
+        std::vector<std::thread> threads;
+        int nt = n_threads < (int)C ? n_threads : (int)C;
+        int64_t chunk = (C + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = lo + chunk < C ? lo + chunk : C;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ===================================================================== ogg scan

@@ -102,7 +102,18 @@ def pack_pcm(q: jnp.ndarray):
 
 
 def unpack_pcm(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
-    """Host-side unpack -> int16 [C, L]. Vectorized per width class."""
+    """Host-side unpack -> int16 [C, L]: the threaded C++ unpacker when
+    available (native/frontend.cpp vp_unpack_pcm), else vectorized numpy."""
+    from .. import native
+
+    if native.available():
+        out = native.unpack_pcm(packed, widx, C, L)
+        if out is not None:
+            return out
+    return _unpack_pcm_numpy(packed, widx, C, L)
+
+
+def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     NBt = widx.shape[0]
     NB = NBt // C
     ws = np.asarray(WIDTHS, dtype=np.int64)
