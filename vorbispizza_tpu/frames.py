@@ -59,6 +59,42 @@ class FrameEntry:
 
 
 @dataclass
+class FrameSoA:
+    """Struct-of-arrays view of a plan's frames: everything the device
+    pipeline needs per frame, as numpy arrays (no per-frame Python on the
+    prepare path — merged corpus plans carry ONLY this, no FrameEntry
+    objects)."""
+
+    n: np.ndarray  # [F] blocksize
+    left_start: np.ndarray
+    left_end: np.ndarray
+    right_end: np.ndarray
+    offset: np.ndarray  # [F] global index of frame sample 0
+    prime: np.ndarray  # [F] bool
+    final: np.ndarray  # [F] bool
+
+    @staticmethod
+    def from_frames(frames: list["FrameEntry"]) -> "FrameSoA":
+        F = len(frames)
+        n = np.empty(F, dtype=np.int64)
+        ls = np.empty(F, dtype=np.int64)
+        le = np.empty(F, dtype=np.int64)
+        re = np.empty(F, dtype=np.int64)
+        off = np.empty(F, dtype=np.int64)
+        pr = np.empty(F, dtype=bool)
+        fi = np.empty(F, dtype=bool)
+        for i, fr in enumerate(frames):
+            n[i] = fr.info.n
+            ls[i] = fr.info.left_start
+            le[i] = fr.info.left_end
+            re[i] = fr.info.right_end
+            off[i] = fr.offset
+            pr[i] = fr.prime
+            fi[i] = fr.final
+        return FrameSoA(n, ls, le, re, off, pr, fi)
+
+
+@dataclass
 class FramePlan:
     frames: list[FrameEntry]
     total_len: int  # global coordinate span (last chain's end)
@@ -69,6 +105,18 @@ class FramePlan:
     # frame's packet bytes addressed straight into the Ogg scan's blob, so
     # extraction hands the C++ decoder zero-copy spans (no Packet objects)
     scan: tuple | None = None
+    # preset struct-of-arrays (merged plans); lazily built otherwise
+    soa_cache: FrameSoA | None = None
+
+    def soa(self) -> FrameSoA:
+        if self.soa_cache is None:
+            self.soa_cache = FrameSoA.from_frames(self.frames)
+        return self.soa_cache
+
+    @property
+    def n_frames(self) -> int:
+        s = self.soa_cache
+        return len(s.n) if s is not None else len(self.frames)
 
     @property
     def segments(self) -> list[tuple[int, int]]:
@@ -81,16 +129,16 @@ class FramePlan:
     def is_cut_free(self) -> bool:
         """True when every chain keeps exactly its full center-to-center
         span — i.e. no granule trims (the fast OLA/split paths' domain)."""
+        s = self.soa()
         for chain, segs in zip(self.chains, self.chain_segments):
             if len(chain) < 2:
                 if segs:
                     return False
                 continue
-            first = self.frames[chain[0]]
-            last = self.frames[chain[-1]]
+            i0, i1 = chain[0], chain[-1]
             span = (
-                first.offset + first.info.n // 2,
-                last.offset + last.info.n // 2,
+                int(s.offset[i0] + s.n[i0] // 2),
+                int(s.offset[i1] + s.n[i1] // 2),
             )
             if segs != [span]:
                 return False

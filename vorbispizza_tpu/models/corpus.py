@@ -24,7 +24,6 @@ from ..frames import (
     BatchUnsupported,
     BucketBatch,
     FloorGroup,
-    FrameEntry,
     FramePlan,
     SymBucket,
     build_plan,
@@ -118,25 +117,19 @@ def merge_streams(items):
 
     All streams must share the same setup config and channel count (callers
     group by setup identity). Returns (plan, buckets, pcm_lengths)."""
-    frames: list[FrameEntry] = []
+    from ..frames import FrameSoA
+
+    soa_parts: list = []
+    n_frames = 0
     chains: list[list[int]] = []
     chain_segments: list[list[tuple[int, int]]] = []
     merged: dict = {}
     pcm_lengths: list[int] = []
     coord_base = 0
     for plan, buckets in items:
-        frame_base = len(frames)
-        for fr in plan.frames:
-            frames.append(
-                FrameEntry(
-                    packet=None,
-                    mode_idx=fr.mode_idx,
-                    info=fr.info,
-                    offset=fr.offset + coord_base,
-                    prime=fr.prime,
-                    final=fr.final,
-                )
-            )
+        frame_base = n_frames
+        soa_parts.append((plan.soa(), coord_base))
+        n_frames += plan.n_frames
         for chain in plan.chains:
             chains.append([i + frame_base for i in chain])
         for segs in plan.chain_segments:
@@ -147,6 +140,15 @@ def merge_streams(items):
             merged.setdefault(b.key, []).append((b, frame_base, coord_base))
         pcm_lengths.append(plan.pcm_length)
         coord_base += plan.total_len
+    soa_m = FrameSoA(
+        n=np.concatenate([s.n for s, _ in soa_parts]),
+        left_start=np.concatenate([s.left_start for s, _ in soa_parts]),
+        left_end=np.concatenate([s.left_end for s, _ in soa_parts]),
+        right_end=np.concatenate([s.right_end for s, _ in soa_parts]),
+        offset=np.concatenate([s.offset + cb for s, cb in soa_parts]),
+        prime=np.concatenate([s.prime for s, _ in soa_parts]),
+        final=np.concatenate([s.final for s, _ in soa_parts]),
+    )
 
     out_buckets: list[BucketBatch] = []
     for key, parts in merged.items():
@@ -211,11 +213,12 @@ def merge_streams(items):
             )
         )
     plan_m = FramePlan(
-        frames=frames,
+        frames=[],  # merged plans are pure struct-of-arrays (soa_cache)
         total_len=max(coord_base, 1),
         chains=chains,
         chain_segments=chain_segments,
         buckets={b.key: list(b.frame_indices) for b in out_buckets},
+        soa_cache=soa_m,
     )
     return plan_m, out_buckets, pcm_lengths
 

@@ -180,7 +180,7 @@ class BatchSynthesizer:
     @staticmethod
     def _flat_base(plan: FramePlan, buckets, padded_n):
         """Flat-layout start index of each frame's sample 0: [n_frames]."""
-        flat_base = np.zeros(len(plan.frames), dtype=np.int64)
+        flat_base = np.zeros(plan.n_frames, dtype=np.int64)
         base = 0
         for bucket, pn in zip(buckets, padded_n):
             Fp, n = pn[0], pn[1]
@@ -204,18 +204,19 @@ class BatchSynthesizer:
         if not plan.is_cut_free():
             return None  # trimmed stream: use the gather path
         A = self.OLA_ALIGN
+        s = plan.soa()
         classes: dict[HopClass, tuple[list, list, list]] = {}
         out_pos = 0
         for chain in plan.chains:
             for k in range(1, len(chain)):
-                fp = plan.frames[chain[k - 1]]
-                fc = plan.frames[chain[k]]
-                tail_prev = fp.info.right_end - fp.info.n // 2
+                ip, ic = chain[k - 1], chain[k]
+                tail_prev = int(s.right_end[ip] - s.n[ip] // 2)
                 cls, b_off = hop_class(
-                    fp.info.n, fc.info.n // 2, fc.info.left_end, tail_prev
+                    int(s.n[ip]), int(s.n[ic]) // 2, int(s.left_end[ic]),
+                    tail_prev,
                 )
-                src_a = flat_base[chain[k - 1]] + fp.info.n // 2
-                src_b = flat_base[chain[k]] + b_off
+                src_a = flat_base[ip] + int(s.n[ip]) // 2
+                src_b = flat_base[ic] + b_off
                 if (
                     cls.length % A
                     or cls.prev_len % A
@@ -242,17 +243,15 @@ class BatchSynthesizer:
 
         ``padded_n``: per-bucket (Fp, n, ...) after row padding — flat layout
         is the concatenation of each bucket's [C, Fp*n] block."""
-        n_frames = len(plan.frames)
+        s = plan.soa()
+        n_frames = plan.n_frames
         # nonzero support of each windowed frame: [left_start, right_end),
         # narrowed to [center, ...) for priming frames and [..., center) for
         # chain-final frames (their outer halves are masked to zero)
-        sup_start = np.empty(n_frames, dtype=np.int64)
-        sup_end = np.empty(n_frames, dtype=np.int64)
-        for i, fr in enumerate(plan.frames):
-            c = fr.info.n // 2
-            sup_start[i] = c if fr.prime else fr.info.left_start
-            sup_end[i] = c if fr.final else fr.info.right_end
-        offsets = np.array([fr.offset for fr in plan.frames], dtype=np.int64)
+        centers = s.n // 2
+        sup_start = np.where(s.prime, centers, s.left_start)
+        sup_end = np.where(s.final, centers, s.right_end)
+        offsets = s.offset
         offsets_eff = offsets + sup_start
         ends_eff = offsets + sup_end
         flat_base = self._flat_base(plan, buckets, padded_n)
