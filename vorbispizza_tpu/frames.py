@@ -589,8 +589,19 @@ class BucketBatch:
     sym: SymBucket | None = None  # symbol transport (residues is None)
 
     @property
+    def batch_cost(self) -> int:
+        """Chunk-sizing cost: DENSE spectrum bytes (frames x channels x
+        half x f32) regardless of wire format, so corpus_batch_bytes keeps
+        meaning 'audio per merged execution' — the knob bounds compile
+        size and pipeline granularity, not literal transfer bytes."""
+        if self.residues is not None:
+            return self.residues.nbytes
+        channels = sum(len(g.channels) for g in self.floor_groups)
+        return len(self.frame_indices) * channels * (self.n // 2) * 4
+
+    @property
     def transport_nbytes(self) -> int:
-        """Approximate host->device residue payload (batch sizing)."""
+        """Approximate host->device residue wire bytes."""
         if self.residues is not None:
             return self.residues.nbytes
         s = self.sym

@@ -439,7 +439,7 @@ def decode_corpus(
                 key = (id(front[0]), front[1])
                 rec = acc.setdefault(key, [[], 0])
                 rec[0].append(i)
-                rec[1] += sum(b.transport_nbytes for b in front[3])
+                rec[1] += sum(b.batch_cost for b in front[3])
                 if rec[1] >= max_batch_bytes:
                     dispatch(sorted(rec[0]), fronts_by_idx)
                     acc[key] = [[], 0]
