@@ -321,18 +321,15 @@ def decode_corpus(
             return arr
         if output == "s16":
             if isinstance(arr, tuple) and arr[0] == "dpack":
-                from ..ops.pcm_pack import unpack_pcm
+                from ..ops.pcm_pack import pull_bytes, unpack_pcm
 
                 _, packed, nbytes, widx, out_len, total = arr
                 nb = int(nbytes)
-                # pull only the packed bytes (quantized slice lengths so
-                # repeated pulls reuse the tiny device slice programs)
-                qnb = min(
-                    int(packed.shape[0]), -(-max(nb, 1) // (256 << 10)) * (256 << 10)
-                )
-                data = np.asarray(packed[:qnb])[:nb]
+                # pull only the packed bytes (fixed-shape pages: no
+                # per-length device programs)
+                data = pull_bytes(packed, nb)
                 wtab = np.asarray(widx)
-                pulled_bytes[0] += qnb + wtab.nbytes + 4
+                pulled_bytes[0] += nb + wtab.nbytes + 4
                 C = wtab.shape[0] * 128 // out_len
                 return unpack_pcm(data, wtab, C, out_len)[:, :total]
             host = np.asarray(arr)

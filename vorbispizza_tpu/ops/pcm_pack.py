@@ -101,6 +101,49 @@ def pack_pcm(q: jnp.ndarray):
     return packed, (total_words * 4).astype(jnp.int32), widx.astype(jnp.uint8)
 
 
+#: page sizes for sized pulls: a few big pages + one small tail page keeps
+#: both per-call latency and overshoot bounded, with exactly TWO compiled
+#: programs per device-buffer shape (dynamic START, static SIZE — a
+#: python-sliced pull would compile one program per distinct length)
+_PAGE_BIG = 4 << 20
+_PAGE_SMALL = 512 << 10
+
+_page_fns: dict = {}
+
+
+def _page_fn(size: int):
+    fn = _page_fns.get(size)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(
+            lambda x, i: jax.lax.dynamic_slice_in_dim(x, i, size),
+            static_argnames=(),
+        )
+        _page_fns[size] = fn
+    return fn
+
+
+def pull_bytes(dev: "jnp.ndarray", nb: int) -> np.ndarray:
+    """Pull the first ``nb`` bytes of a (large) device u8 buffer using
+    fixed-shape dynamic-start pages; returns np.uint8[nb]."""
+    cap = int(dev.shape[0])
+    if nb <= 0:
+        return np.empty(0, dtype=np.uint8)
+    if cap <= _PAGE_SMALL or nb >= cap - _PAGE_SMALL // 2:
+        return np.asarray(dev)[:nb]
+    out = np.empty(nb, dtype=np.uint8)
+    a = 0
+    while a < nb:
+        size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
+        start = min(a, cap - size)
+        page = np.asarray(_page_fn(size)(dev, start))
+        take = min(nb - a, size - (a - start))
+        out[a : a + take] = page[a - start : a - start + take]
+        a += take
+    return out
+
+
 def unpack_pcm(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     """Host-side unpack -> int16 [C, L]: the threaded C++ unpacker when
     available (native/frontend.cpp vp_unpack_pcm), else vectorized numpy."""
