@@ -324,14 +324,17 @@ def decode_corpus(
                 from ..ops.pcm_pack import pull_bytes, unpack_pcm
 
                 _, packed, nbytes, widx, out_len, total = arr
-                nb = int(nbytes)
-                # pull only the packed bytes (fixed-shape pages: no
-                # per-length device programs)
-                data = pull_bytes(packed, nb)
-                wtab = np.asarray(widx)
+                with t.stage("collect_wait"):
+                    nb = int(nbytes)  # blocks until the chunk's exec drains
+                with t.stage("collect_pull"):
+                    # only the packed bytes cross the link (fixed-shape
+                    # pages: no per-length device programs)
+                    data = pull_bytes(packed, nb)
+                    wtab = np.asarray(widx)
                 pulled_bytes[0] += nb + wtab.nbytes + 4
                 C = wtab.shape[0] * 128 // out_len
-                return unpack_pcm(data, wtab, C, out_len)[:, :total]
+                with t.stage("collect_unpack"):
+                    return unpack_pcm(data, wtab, C, out_len)[:, :total]
             host = np.asarray(arr)
             pulled_bytes[0] += host.nbytes
             if host.ndim == 3:
@@ -373,9 +376,14 @@ def decode_corpus(
     # Batched path: accumulate per-(setup, channels) groups as front ends
     # complete; pack + DISPATCH a merged chunk the moment a group reaches
     # the transfer sweet spot, so transfers/compute pipeline behind the
-    # remaining front ends.
+    # remaining front ends. A small collector pool pulls + unpacks each
+    # chunk's PCM as soon as its execution drains, so device->host bytes
+    # and host unpack ride BEHIND later chunks' execution instead of
+    # serializing at the end (per-pull latency on remote links makes the
+    # serial version cost far more than its bytes).
     pending: list = []
     n_dispatched = 0
+    collect_pool = cf.ThreadPoolExecutor(max_workers=2)
 
     def dispatch(chunk, fronts_by_idx):
         nonlocal n_dispatched
@@ -403,11 +411,8 @@ def decode_corpus(
             for i in chunk:
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
             return
+        fut = None
         if output != "device":
-            # start the device->host copy now so it overlaps later chunks'
-            # transfers/execution instead of serializing at the end (for
-            # the dpack wire only the small arrays are known-size; the
-            # packed payload is pulled as a sized slice at collect)
             try:
                 if isinstance(merged_out, tuple):
                     merged_out[2].copy_to_host_async()  # nbytes
@@ -416,7 +421,8 @@ def decode_corpus(
                     merged_out.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
-        pending.append((chunk, pcm_lengths, merged_out))
+            fut = collect_pool.submit(finish, merged_out)
+        pending.append((chunk, pcm_lengths, merged_out, fut))
 
     fronts_by_idx: dict = {}
     acc: dict = {}  # (sid, channels) -> [indices, residue_bytes]
@@ -445,17 +451,18 @@ def decode_corpus(
             dispatch(sorted(idxs), fronts_by_idx)
 
     with t.stage("collect"):
-        for chunk, pcm_lengths, merged_out in pending:
+        for chunk, pcm_lengths, merged_out, fut in pending:
             if output == "device":
                 c = 0
                 for i, ln in zip(chunk, pcm_lengths):
                     outs[i] = merged_out[:, c : c + ln]
                     c += ln
             else:
-                host = finish(merged_out)
+                host = fut.result()
                 c = 0
                 for i, ln in zip(chunk, pcm_lengths):
                     outs[i] = host[:, c : c + ln]
                     c += ln
+        collect_pool.shutdown(wait=True)
         t.count("d2h_bytes", pulled_bytes[0])
     return outs

@@ -37,6 +37,9 @@ class DecodeTimer:
 
     stages: dict = field(default_factory=dict)
     counters: dict = field(default_factory=dict)
+    # stages run concurrently (the corpus collector pool finishes chunks on
+    # worker threads); accumulation must be atomic
+    _lock: object = field(default_factory=__import__("threading").Lock)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -44,12 +47,13 @@ class DecodeTimer:
         try:
             yield
         finally:
-            self.stages[name] = self.stages.get(name, 0.0) + (
-                time.perf_counter() - t0
-            )
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.stages[name] = self.stages.get(name, 0.0) + dt
 
     def count(self, name: str, value) -> None:
-        self.counters[name] = self.counters.get(name, 0) + value
+        with self._lock:
+            self.counters[name] = self.counters.get(name, 0) + value
 
     def report(self) -> dict:
         out = dict(self.stages)
