@@ -439,7 +439,9 @@ class BatchSynthesizer:
                     P = len(meta["xs"])
                     g = {
                         "posts": slot("u8", (Fp, nc, P)),
-                        "step2": slot("u8", (Fp, nc, P)),
+                        # one bit per post, packed little-endian (u8[P]
+                        # would be 7/8ths padding on the wire)
+                        "step2": slot("u8", (Fp, nc, (P + 7) // 8)),
                     }
                 else:
                     g = {
@@ -485,10 +487,16 @@ class BatchSynthesizer:
                 floor_inputs = []
                 for meta, g in zip(metas, e["groups"]):
                     if meta["type"] == 1:
+                        P = len(meta["xs"])
+                        s2b = take(g["step2"])  # packed bits [Fp, nc, B]
+                        step2 = (
+                            jnp.repeat(s2b, 8, axis=-1)[..., :P]
+                            >> (jnp.arange(P, dtype=jnp.uint8) % 8)
+                        ) & 1
                         floor_inputs.append(
                             {
                                 "posts": take(g["posts"]).astype(jnp.int32),
-                                "step2": take(g["step2"], bool_=True),
+                                "step2": step2.astype(bool),
                                 "used": take(g["used"], bool_=True),
                             }
                         )
@@ -786,7 +794,12 @@ class BatchSynthesizer:
                 put(ge["used"], g.used.astype(np.uint8))
                 if meta["type"] == 1:
                     put(ge["posts"], g.posts.astype(np.uint8))
-                    put(ge["step2"], g.step2.astype(np.uint8))
+                    put(
+                        ge["step2"],
+                        np.packbits(
+                            g.step2.astype(bool), axis=-1, bitorder="little"
+                        ),
+                    )
                 else:
                     put(ge["coefficients"], g.coefficients)
                     put(ge["amplitude"], g.amplitude)
