@@ -26,9 +26,17 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Progress to stderr (stdout carries only the JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def measure_tunnel(jax, jnp):
@@ -70,6 +78,7 @@ def main() -> None:
     )
     from vorbispizza_tpu.utils.profiling import DecodeTimer
 
+    _mark("encoding corpus")
     rate = 44100
     n_streams = 32
     seconds = 15.0
@@ -84,6 +93,7 @@ def main() -> None:
     total_audio = n_streams * seconds
 
     # ---- accuracy vs the float64 scalar anchor ---------------------------------
+    _mark("accuracy check (first compile)")
     r = VorbisReader(corpus[0])
     r.initialize()
     ref = r.read_all(planar=True)
@@ -91,7 +101,9 @@ def main() -> None:
     max_err = float(np.abs(outs[0] - ref).max())
 
     # ---- headline: corpus -> host s16, stage-attributed ------------------------
+    _mark("headline warm (compile)")
     decode_corpus(corpus, output="s16")  # warm (compile)
+    _mark("headline timed reps")
     reps = 2
     timer = DecodeTimer()
     t0 = time.perf_counter()
@@ -104,6 +116,8 @@ def main() -> None:
     d2h_mb = timer.counters.get("d2h_bytes", 0) / reps / 1e6
 
     # ---- device-resident (no PCM pull; TPU-native deployment shape) ------------
+    _mark("device-resident mode")
+
     def rtf_device():
         outs_ = decode_corpus(corpus, output="device")
         for o in outs_:
@@ -120,6 +134,7 @@ def main() -> None:
     rtf_dev = total_audio / (time.perf_counter() - t0)
 
     # ---- 5.1 multichannel (Residue2 + coupling) ---------------------------------
+    _mark("5.1 multichannel")
     corpus51 = [
         encode_vorbis(
             make_signal(6, 10.0, rate=rate, kind="music", seed=100 + s),
@@ -139,6 +154,7 @@ def main() -> None:
     rtf51 = (4 * 10.0) / (time.perf_counter() - t0)
 
     # ---- chained + seek ----------------------------------------------------------
+    _mark("chained + seek")
     a = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=200),
                       rate=rate, quality=0.4, serial=1)
     b = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=201),
@@ -161,6 +177,7 @@ def main() -> None:
     # all granule-trimmed) plans route through the fused gather path. Both
     # engagement modes are checked here on the real chip: the aligned class
     # must compile under Mosaic and match the gather path bit-exactly.
+    _mark("pallas vs gather check")
     pallas_check = -1.0
     if jax.default_backend() == "tpu":
         from vorbispizza_tpu.models.pipeline import BatchSynthesizer
@@ -188,6 +205,7 @@ def main() -> None:
         assert pallas_check == 0.0, f"Pallas OLA != gather OLA: {pallas_check}"
 
     # ---- physical ceiling of this environment ------------------------------------
+    _mark("tunnel rate measurement")
     h2d_rate, d2h_rate = measure_tunnel(jax, jnp)
     # the tunnel budget is aggregate (duplex shares one pipe): the floor is
     # total bytes moved at the direction-specific measured rates

@@ -383,7 +383,7 @@ def decode_corpus(
     # serial version cost far more than its bytes).
     pending: list = []
     n_dispatched = 0
-    collect_pool = cf.ThreadPoolExecutor(max_workers=2)
+    collect_pool = cf.ThreadPoolExecutor(max_workers=3)
 
     def dispatch(chunk, fronts_by_idx):
         nonlocal n_dispatched

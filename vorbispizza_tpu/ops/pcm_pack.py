@@ -133,14 +133,25 @@ def pull_bytes(dev: "jnp.ndarray", nb: int) -> np.ndarray:
     if cap <= _PAGE_SMALL or nb >= cap - _PAGE_SMALL // 2:
         return np.asarray(dev)[:nb]
     out = np.empty(nb, dtype=np.uint8)
+    # launch every page slice + async copy FIRST, then materialize: the
+    # dispatch round-trips of page k+1 ride behind page k's transfer
+    # instead of serializing (per-call latency on remote links)
+    pages = []
     a = 0
     while a < nb:
         size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
         start = min(a, cap - size)
-        page = np.asarray(_page_fn(size)(dev, start))
+        page = _page_fn(size)(dev, start)
+        try:
+            page.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         take = min(nb - a, size - (a - start))
-        out[a : a + take] = page[a - start : a - start + take]
+        pages.append((a, start, take, page))
         a += take
+    for a, start, take, page in pages:
+        host = np.asarray(page)
+        out[a : a + take] = host[a - start : a - start + take]
     return out
 
 
