@@ -133,6 +133,18 @@ def main() -> None:
     rtf_device()
     rtf_dev = total_audio / (time.perf_counter() - t0)
 
+    # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------
+    _mark("single file")
+    try:
+        single = open("/root/reference/TestFiles/1test.ogg", "rb").read()
+    except OSError:
+        single = corpus[0]
+    outs1 = decode_corpus([single], output="s16")  # warm
+    single_seconds = outs1[0].shape[1] / rate
+    t0 = time.perf_counter()
+    decode_corpus([single], output="s16")
+    rtf_single = single_seconds / (time.perf_counter() - t0)
+
     # ---- 5.1 multichannel (Residue2 + coupling) ---------------------------------
     _mark("5.1 multichannel")
     corpus51 = [
@@ -221,6 +233,7 @@ def main() -> None:
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf_s16 / 1000.0, 4),
                 "rtf_device_resident": round(rtf_dev, 2),
+                "rtf_single_file": round(rtf_single, 2),
                 "rtf_multichannel_5_1": round(rtf51, 2),
                 "chained_seek_ms": round(seek_ms, 2),
                 "stages_s": stages,

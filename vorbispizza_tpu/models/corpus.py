@@ -315,6 +315,7 @@ def decode_corpus(
     t = timer if timer is not None else _NullTimer()
 
     pulled_bytes = [0]
+    _pull_lock = threading.Lock()
 
     def finish(arr):
         if output == "device":
@@ -326,23 +327,28 @@ def decode_corpus(
                 _, packed, nbytes, widx, out_len, total = arr
                 with t.stage("collect_wait"):
                     nb = int(nbytes)  # blocks until the chunk's exec drains
-                with t.stage("collect_pull"):
+                with t.stage("collect_pull"), _pull_lock:
                     # only the packed bytes cross the link (fixed-shape
-                    # pages: no per-length device programs)
+                    # pages: no per-length device programs). Pulls are
+                    # SERIALIZED across collector workers: the link is one
+                    # pipe, and concurrent transfers thrash it — one full-
+                    # bandwidth pull at a time while other workers unpack.
                     data = pull_bytes(packed, nb)
                     wtab = np.asarray(widx)
                 pulled_bytes[0] += nb + wtab.nbytes + 4
                 C = wtab.shape[0] * 128 // out_len
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
-            host = np.asarray(arr)
+            with _pull_lock:
+                host = np.asarray(arr)
             pulled_bytes[0] += host.nbytes
             if host.ndim == 3:
                 # byte planes [2, C, L] u8 -> int16, losslessly
                 pcm = ((host[1].astype(np.int32) << 8) | host[0]) - 32768
                 return pcm.astype(np.int16)
             return host
-        pcm = np.array(arr, dtype=np.float32)
+        with _pull_lock:
+            pcm = np.array(arr, dtype=np.float32)
         pulled_bytes[0] += pcm.nbytes
         if clip_samples:
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
