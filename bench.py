@@ -133,6 +133,31 @@ def main() -> None:
     rtf_device()
     rtf_dev = total_audio / (time.perf_counter() - t0)
 
+    # ---- device execution in isolation (no transfers in the timed loop) --------
+    # Quantifies what the chip itself sustains: prepare (h2d) once, then
+    # loop the fused program; the 4-byte nbytes pull at the end proves the
+    # in-order queue drained (block_until_ready is unreliable here).
+    _mark("device exec only")
+    from vorbispizza_tpu.models.corpus import (
+        _front_end,
+        _synthesizer_for,
+        merge_streams,
+    )
+
+    fronts = [_front_end(c) for c in corpus[:8]]
+    synth_x = _synthesizer_for(fronts[0][0], fronts[0][1])
+    plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
+    args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
+    out_x = synth_x.run(*args_x)
+    np.asarray(out_x[2])  # warm + drain
+    audio_x = sum(lens_x) / rate
+    reps_x = 5
+    t0 = time.perf_counter()
+    for _ in range(reps_x):
+        out_x = synth_x.run(*args_x)
+    np.asarray(out_x[2])
+    rtf_exec = reps_x * audio_x / (time.perf_counter() - t0)
+
     # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------
     _mark("single file")
     try:
@@ -234,6 +259,7 @@ def main() -> None:
                 "vs_baseline": round(rtf_s16 / 1000.0, 4),
                 "rtf_device_resident": round(rtf_dev, 2),
                 "rtf_single_file": round(rtf_single, 2),
+                "rtf_device_exec_only": round(rtf_exec, 2),
                 "rtf_multichannel_5_1": round(rtf51, 2),
                 "chained_seek_ms": round(seek_ms, 2),
                 "stages_s": stages,
