@@ -434,3 +434,22 @@ def test_forward_only_seek_raises_typed_error():
     r.read_samples(44100 * 28)
     with pytest.raises(VorbisError):  # NotSeekableError or SeekOutOfRange
         r.seek_to(1000)
+
+
+def test_lookup2_stream(tmp_path):
+    """Lookup type 2 (direct VQ table) with sequence_p — a spec corner no
+    encoder emits (reference decode path Codebook.cs:264-281): scalar
+    matches the native oracle, batch pipeline matches the scalar anchor,
+    and the non-integer book pins the value-transport fallback."""
+    from vorbispizza_tpu.testing.rawstream import make_lookup2_stream
+
+    data = make_lookup2_stream()
+    nat = oracle_decode(data, tmp_path)
+    r = VorbisReader(data)
+    r.initialize()
+    got = r.read_all(planar=True)
+    assert got.shape == nat.shape
+    assert np.abs(s16(got) - s16(nat)).max() <= 2
+    batch = decode_file_batch(data)
+    assert batch.shape == got.shape
+    assert np.abs(batch - got).max() <= 2e-6

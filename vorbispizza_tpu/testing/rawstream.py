@@ -62,7 +62,9 @@ def pack_float(mantissa: int, exponent: int, negative: bool = False) -> int:
 class BookSpec:
     dims: int
     lengths: list[int]  # 0 == unused entry (requires sparse=True)
-    # lookup type 1 lattice (None => no lookup / scalar context)
+    # VQ lookup (None minimum => no lookup / scalar context); map_type 1 is
+    # the lattice (mults len = lookup1_values), map_type 2 the direct table
+    # (mults len = entries*dims — spec 3.2.1, reference Codebook.cs:264-281)
     minimum: int | None = None  # packed float
     delta: int | None = None  # packed float
     value_bits: int = 2
@@ -70,6 +72,7 @@ class BookSpec:
     sequence_p: int = 0
     sparse: bool = False
     ordered: bool = False
+    map_type: int = 1
 
     @property
     def entries(self) -> int:
@@ -112,7 +115,7 @@ class BookSpec:
         if self.minimum is None:
             w.write(0, 4)  # no lookup
         else:
-            w.write(1, 4)  # lookup type 1
+            w.write(self.map_type, 4)
             w.write(self.minimum, 32)
             w.write(self.delta, 32)
             w.write(self.value_bits - 1, 4)
@@ -674,6 +677,69 @@ def make_oddbooks_stream(n_packets: int = 16, rate: int = 16000, seed: int = 4):
         w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
         for _ in range(2):
             ybook.write_symbol(w, int(rng.choice(used_syms)))
+        n_parts = 64 // 8
+        pc = 0
+        while pc < n_parts:
+            classbook.write_symbol(w, int(rng.integers(0, 4)))
+            for _ in range(2):
+                if pc >= n_parts:
+                    break
+                for _s in range(4):
+                    resbook.write_symbol(w, int(rng.integers(0, 4)))
+                pc += 1
+        packets.append((w.bytes(), 128 * k))
+    return page_stream(packets)
+
+
+def make_lookup2_stream(n_packets: int = 16, rate: int = 16000, seed: int = 5):
+    """Mono floor1 stream whose residue book uses LOOKUP TYPE 2 (the direct
+    VQ table, spec 3.2.1) with sequence_p set — a spec corner libvorbisenc
+    never emits (reference decode path Codebook.cs:264-281). Values land on
+    a 0.5 grid, so this also pins the value-transport fallback (symbol
+    transport requires integer-valued books)."""
+    rng = np.random.default_rng(seed)
+    n = 256
+
+    classbook = BookSpec(dims=2, lengths=[2, 2, 2, 2])
+    # direct table: mults has entries*dims values; sequence_p accumulates
+    # across dims within each entry
+    resbook = BookSpec(
+        dims=2, lengths=[2, 2, 2, 2],
+        minimum=pack_float(1, 787, negative=True),  # -0.5
+        delta=pack_float(1, 787),  # 0.5
+        value_bits=2, mults=[0, 1, 2, 3, 3, 2, 1, 0],
+        sequence_p=1, map_type=2,
+    )
+    ybook = BookSpec(dims=1, lengths=[2, 2, 2, 2])
+    books = [classbook, resbook, ybook]
+
+    floor = Floor1Spec(
+        partition_classes=[0], class_dims=[2], class_subclasses=[0],
+        class_masterbooks=[None], subclass_books=[[2]],
+        multiplier=2, rangebits=7, xs_extra=[32, 96],
+    )
+    residue = ResidueSpec(
+        rtype=1, begin=0, end=64, partition_size=8,
+        classifications=2, classbook=0,
+        books=[[1] + [None] * 7, [1] + [None] * 7],
+    )
+    mapping = MappingSpec(submap_floor=[0], submap_residue=[0])
+    mode = ModeSpec(0)
+
+    headers = [
+        ident_packet(1, rate, n, n),
+        comment_packet(),
+        setup_packet(books, [floor], [residue], [mapping], [mode], channels=1),
+    ]
+    packets: list[tuple[bytes, int]] = [(h, 0) for h in headers]
+    for k in range(n_packets):
+        w = BitWriter()
+        w.write(0, 1)
+        w.write(1, 1)  # floor present
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        w.write(int(rng.integers(0, 128)), ilog(floor_range(floor) - 1))
+        for _ in range(2):
+            ybook.write_symbol(w, int(rng.integers(0, 4)))
         n_parts = 64 // 8
         pc = 0
         while pc < n_parts:
