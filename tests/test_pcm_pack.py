@@ -98,4 +98,40 @@ def test_every_width_exercised():
     assert q.min() >= -32768 and q.max() <= 32767
     packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
     roundtrip(q)
-    assert set(np.asarray(widx).tolist()) == set(range(len(WIDTHS)))
+    assert set((np.asarray(widx) & 0x1F).tolist()) == set(range(len(WIDTHS)))
+
+
+def test_d3_blocks_and_numpy_fallback():
+    """Smooth (quadratic/cubic) content makes the packer choose the
+    third-difference predictor; the C++ unpacker and the numpy fallback
+    must agree exactly on mixed d2/d3 block runs."""
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+
+    rng = np.random.default_rng(3)
+    t = np.arange(40_000, dtype=np.float64)
+    # tonal content (d3-friendly) plus a noisy segment (d2-friendly) so
+    # block runs alternate
+    sig = 20000 * np.sin(2 * np.pi * 220 * t / 44100)
+    sig[15_000:18_000] += rng.integers(-3000, 3000, size=3000)
+    q = np.stack([sig, -0.7 * sig]).round().astype(np.int32).clip(-32768, 32767)
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
+    nb = int(nbytes)
+    widx_h = np.asarray(widx)
+    assert (widx_h >> 5).any(), "expected some third-difference blocks"
+    assert ((widx_h >> 5) == 0).any(), "expected some second-difference blocks"
+    data = np.asarray(packed[:nb])
+    via_native = unpack_pcm(data, widx_h, 2, q.shape[1])
+    via_numpy = _unpack_pcm_numpy(data, widx_h, 2, q.shape[1])
+    assert np.array_equal(via_native, q.astype(np.int16))
+    assert np.array_equal(via_numpy, q.astype(np.int16))
+
+
+def test_d3_saves_bytes_on_smooth_content():
+    t = np.arange(44100 * 2, dtype=np.float64)
+    sig = 0.5 * np.sin(2 * np.pi * 220 * t / 44100)
+    q = np.rint(sig * 32767).astype(np.int32)[None, :]
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
+    nb = int(nbytes)
+    # pure tone: d3 narrows nearly every block vs d2-only packing
+    assert (np.asarray(widx) >> 5).mean() > 0.9
+    roundtrip(q)

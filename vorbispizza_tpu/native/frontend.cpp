@@ -904,12 +904,13 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     if (C <= 0 || nbt % C != 0) return -1;
     int64_t NB = nbt / C;
     if (NB * 128 < L) return -1;
-    // per-channel byte offsets (blocks are laid out channel-major)
+    // per-channel byte offsets (blocks are laid out channel-major);
+    // widx byte: bits 0-4 width index, bit 5 = third-difference flag
     std::vector<int64_t> ch_off(C + 1, 0);
     for (int64_t c = 0; c < C; c++) {
         int64_t bytes = 0;
         for (int64_t b = 0; b < NB; b++) {
-            uint8_t wi = widx[c * NB + b];
+            uint8_t wi = widx[c * NB + b] & 0x1F;
             if (wi > 18) return -2;
             bytes += 16 * W[wi];
         }
@@ -920,14 +921,21 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     auto work = [&](int64_t c0, int64_t c1) {
         for (int64_t c = c0; c < c1; c++) {
             const uint8_t* p = data + ch_off[c];
-            int64_t acc1 = 0, acc2 = 0;
+            // ld2 = current d2; acc1 = current d1; acc2 = current sample.
+            // order-2 blocks set ld2 directly; order-3 blocks accumulate
+            // their d3 values into it.
+            int64_t acc1 = 0, acc2 = 0, ld2 = 0;
             int16_t* dst = out + c * L;
             for (int64_t b = 0; b < NB; b++) {
-                int w = W[widx[c * NB + b]];
+                uint8_t wb = widx[c * NB + b];
+                int w = W[wb & 0x1F];
+                bool ord3 = (wb >> 5) & 1;
                 int64_t base = b * 128;
                 if (w == 0) {
-                    // all-zero d2: both accumulators advance linearly
+                    // all-zero payload: d2 is 0 (order-2) or held (order-3)
+                    if (!ord3) ld2 = 0;
                     for (int i = 0; i < 128; i++) {
+                        acc1 += ld2;
                         acc2 += acc1;
                         int64_t s = base + i;
                         if (s < L) dst[s] = (int16_t)acc2;
@@ -938,10 +946,11 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
                 for (int i = 0; i < 128; i++) {
                     int64_t bit = (int64_t)i * w;
                     uint64_t v8;
-                    std::memcpy(&v8, p + (bit >> 3), 8);  // block is >=32B
+                    std::memcpy(&v8, p + (bit >> 3), 8);  // block is >=16B
                     uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
-                    int64_t d2 = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
-                    acc1 += d2;
+                    int64_t dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                    if (ord3) ld2 += dd; else ld2 = dd;
+                    acc1 += ld2;
                     acc2 += acc1;
                     int64_t s = base + i;
                     if (s < L) dst[s] = (int16_t)acc2;
