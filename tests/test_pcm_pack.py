@@ -135,3 +135,66 @@ def test_d3_saves_bytes_on_smooth_content():
     # pure tone: d3 narrows nearly every block vs d2-only packing
     assert (np.asarray(widx) >> 5).mean() > 0.9
     roundtrip(q)
+
+
+def test_inter_channel_blocks():
+    """Correlated stereo picks the inter-channel candidates (bit 6); both
+    unpackers reconstruct exactly, and the wire shrinks vs independent
+    channels."""
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+
+    rng = np.random.default_rng(4)
+    t = np.arange(60_000, dtype=np.float64)
+    base = 15000 * np.sin(2 * np.pi * 220 * t / 44100) + 4000 * np.sin(
+        2 * np.pi * 663 * t / 44100
+    )
+    side = 300 * np.sin(2 * np.pi * 441 * t / 44100)
+    q = (
+        np.stack([base + side, base - side])
+        .round()
+        .astype(np.int32)
+        .clip(-32768, 32767)
+    )
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
+    nb = int(nbytes)
+    widx_h = np.asarray(widx)
+    NB = widx_h.shape[0] // 2
+    assert not (widx_h[:NB] >> 6).any(), "even channel must never be inter"
+    assert (widx_h[NB:] >> 6).any(), "correlated stereo should pick inter"
+    data = np.asarray(packed[:nb])
+    assert np.array_equal(unpack_pcm(data, widx_h, 2, q.shape[1]), q.astype(np.int16))
+    assert np.array_equal(_unpack_pcm_numpy(data, widx_h, 2, q.shape[1]), q.astype(np.int16))
+    # the independent encoding of the same content costs more
+    mono = jax.jit(pack_pcm)(jnp.asarray(q[1:]))
+    assert nb < int(mono[1]) + int(
+        jax.jit(pack_pcm)(jnp.asarray(q[:1]))[1]
+    )
+
+
+def test_inter_channel_multichannel_pairs():
+    """5.1-style 6-channel: pairs (0,1),(2,3),(4,5) decorrelate
+    independently; odd-channel-count streams leave the trailing channel
+    alone."""
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+
+    rng = np.random.default_rng(5)
+    t = np.arange(20_000, dtype=np.float64)
+    tone = 9000 * np.sin(2 * np.pi * 180 * t / 44100)
+    chans = [tone + 100 * rng.standard_normal(t.size) for _ in range(5)]
+    for C in (5, 6):
+        q = (
+            np.stack(chans[:C] + ([tone] if C == 6 else []))
+            .round()
+            .astype(np.int32)
+            .clip(-32768, 32767)
+        )
+        packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
+        nb = int(nbytes)
+        data = np.asarray(packed[:nb])
+        widx_h = np.asarray(widx)
+        assert np.array_equal(
+            unpack_pcm(data, widx_h, C, q.shape[1]), q.astype(np.int16)
+        )
+        assert np.array_equal(
+            _unpack_pcm_numpy(data, widx_h, C, q.shape[1]), q.astype(np.int16)
+        )

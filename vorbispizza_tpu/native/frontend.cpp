@@ -918,55 +918,80 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     }
     if (ch_off[C] > nbytes) return -3;
 
-    auto work = [&](int64_t c0, int64_t c1) {
-        for (int64_t c = c0; c < c1; c++) {
-            const uint8_t* p = data + ch_off[c];
-            // ld2 = current d2; acc1 = current d1; acc2 = current sample.
-            // order-2 blocks set ld2 directly; order-3 blocks accumulate
-            // their d3 values into it.
-            int64_t acc1 = 0, acc2 = 0, ld2 = 0;
-            int16_t* dst = out + c * L;
-            for (int64_t b = 0; b < NB; b++) {
-                uint8_t wb = widx[c * NB + b];
-                int w = W[wb & 0x1F];
-                bool ord3 = (wb >> 5) & 1;
-                int64_t base = b * 128;
-                if (w == 0) {
-                    // all-zero payload: d2 is 0 (order-2) or held (order-3)
-                    if (!ord3) ld2 = 0;
-                    for (int i = 0; i < 128; i++) {
-                        acc1 += ld2;
-                        acc2 += acc1;
-                        int64_t s = base + i;
-                        if (s < L) dst[s] = (int16_t)acc2;
-                    }
-                    continue;
-                }
-                uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
+    // One channel: ld2 = current d2, acc1 = current d1, acc2 = current
+    // sample. Order-2 blocks set ld2 directly; order-3 blocks accumulate
+    // their d3 values into it. Inter blocks first add the pair partner's
+    // same-order difference (d2out/d2in stash the partner's d2 stream).
+    auto decode_ch = [&](int64_t c, int32_t* d2out, const int32_t* d2in) {
+        const uint8_t* p = data + ch_off[c];
+        int64_t acc1 = 0, acc2 = 0, ld2 = 0;
+        int16_t* dst = out + c * L;
+        for (int64_t b = 0; b < NB; b++) {
+            uint8_t wb = widx[c * NB + b];
+            int w = W[wb & 0x1F];
+            bool ord3 = wb & 0x20;
+            bool inter = (wb & 0x40) && d2in;
+            int64_t base = b * 128;
+            uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
+            if (w == 0 && !inter && !d2out && !ord3) {
+                // all-zero d2 and nothing to stash: q advances linearly
                 for (int i = 0; i < 128; i++) {
-                    int64_t bit = (int64_t)i * w;
-                    uint64_t v8;
-                    std::memcpy(&v8, p + (bit >> 3), 8);  // block is >=16B
-                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
-                    int64_t dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
-                    if (ord3) ld2 += dd; else ld2 = dd;
-                    acc1 += ld2;
                     acc2 += acc1;
                     int64_t s = base + i;
                     if (s < L) dst[s] = (int16_t)acc2;
                 }
-                p += 16 * w;
+                ld2 = 0;
+                continue;
+            }
+            for (int i = 0; i < 128; i++) {
+                int64_t s = base + i;
+                int64_t dd = 0;
+                if (w) {
+                    int64_t bit = (int64_t)i * w;
+                    uint64_t v8;
+                    std::memcpy(&v8, p + (bit >> 3), 8);  // block >=16B
+                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
+                    dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                }
+                if (inter) {
+                    if (ord3)
+                        dd += (int64_t)d2in[s] - (s ? (int64_t)d2in[s - 1] : 0);
+                    else
+                        dd += d2in[s];
+                }
+                if (ord3) ld2 += dd; else ld2 = dd;
+                if (d2out) d2out[s] = (int32_t)ld2;
+                acc1 += ld2;
+                acc2 += acc1;
+                if (s < L) dst[s] = (int16_t)acc2;
+            }
+            p += 16 * w;
+        }
+    };
+    // channels decode per PAIR (the inter candidates reference the even
+    // partner), so threading splits across pairs
+    int64_t NP = (C + 1) / 2;
+    auto work = [&](int64_t p0, int64_t p1) {
+        std::vector<int32_t> d2buf;
+        for (int64_t p = p0; p < p1; p++) {
+            int64_t c0 = 2 * p;
+            if (c0 + 1 < C) {
+                d2buf.resize((size_t)(NB * 128));
+                decode_ch(c0, d2buf.data(), nullptr);
+                decode_ch(c0 + 1, nullptr, d2buf.data());
+            } else {
+                decode_ch(c0, nullptr, nullptr);
             }
         }
     };
-    if (n_threads <= 1 || C == 1) {
-        work(0, C);
+    if (n_threads <= 1 || NP == 1) {
+        work(0, NP);
     } else {
         std::vector<std::thread> threads;
-        int nt = n_threads < (int)C ? n_threads : (int)C;
-        int64_t chunk = (C + nt - 1) / nt;
+        int nt = n_threads < (int)NP ? n_threads : (int)NP;
+        int64_t chunk = (NP + nt - 1) / nt;
         for (int t = 0; t < nt; t++) {
-            int64_t lo = t * chunk, hi = lo + chunk < C ? lo + chunk : C;
+            int64_t lo = t * chunk, hi = lo + chunk < NP ? lo + chunk : NP;
             if (lo >= hi) break;
             threads.emplace_back(work, lo, hi);
         }

@@ -67,22 +67,44 @@ def pack_pcm(q: jnp.ndarray):
             wi = wi + (maxz > ((1 << w) - 1)).astype(jnp.int32)
         return wi
 
-    # per-block predictor choice: third difference wins on smooth content
-    # (~23% fewer bytes on decoded music), second on noisy blocks; ties go
-    # to d2 (cheaper reconstruction). |d3| can reach 2^19, which zigzag
-    # would overflow past WIDTHS[-1] — such blocks can never win (d2 always
-    # fits 18 bits), so force them to d2.
-    blk2 = zig_blocks(d2)
-    blk3 = zig_blocks(d3)
+    # Per-block candidate choice, narrowest wins (ties to the earlier,
+    # cheaper-to-reconstruct candidate):
+    #   d2      second difference (baseline; always fits 18 bits)
+    #   d3      third difference (~23% fewer bytes on smooth music)
+    #   i2, i3  inter-channel: dk(ch) - dk(pair partner) — stereo content
+    #   is usually correlated, and diff-space decorrelation needs no
+    #   sample-space stitching (the accumulator chain still tracks ch).
+    # Candidates whose zigzag exceeds WIDTHS[-1] bits are forced out (d2
+    # always fits, so a winner always exists). Channels pair (0,1),(2,3)…;
+    # even channels and a trailing odd channel have no inter candidates.
+    # Flag bits in the width byte: 5 = third difference, 6 = inter.
     NBt = C * NB
-    wi2 = width_index(blk2.max(axis=1))
-    max3 = blk3.max(axis=1)
-    wi3 = jnp.where(
-        max3 > ((1 << MAX_W) - 1), jnp.int32(len(WIDTHS)), width_index(max3)
-    )
-    use3 = wi3 < wi2
-    widx = jnp.where(use3, wi3, wi2)
-    blk = jnp.where(use3[:, None], blk3, blk2)
+    cands = [zig_blocks(d2), zig_blocks(d3)]
+    flags = [0, 1 << 5]
+    if C >= 2:
+        ch = np.arange(C)
+        partner = np.where(ch % 2 == 1, ch - 1, ch)
+        cands.append(zig_blocks(d2 - d2[partner]))
+        cands.append(zig_blocks(d3 - d3[partner]))
+        flags += [1 << 6, (1 << 5) | (1 << 6)]
+        # inter only valid for odd channels (block t belongs to ch t//NB)
+        inter_ok = jnp.asarray((np.arange(NBt) // NB) % 2 == 1)
+    INVALID = jnp.int32(len(WIDTHS))
+    wis = []
+    for k, cb in enumerate(cands):
+        m = cb.max(axis=1)
+        wi = jnp.where(m > ((1 << MAX_W) - 1), INVALID, width_index(m))
+        if flags[k] & (1 << 6):
+            wi = jnp.where(inter_ok, wi, INVALID)
+        wis.append(wi)
+    wstack = jnp.stack(wis)  # [K, NBt]
+    best = jnp.argmin(wstack * len(cands) + jnp.arange(len(cands))[:, None], axis=0)
+    widx = jnp.take_along_axis(wstack, best[None, :], axis=0)[0]
+    blk = jnp.take_along_axis(
+        jnp.stack(cands), best[None, :, None].astype(jnp.int32), axis=0
+    )[0]
+    flag_tbl = jnp.asarray(np.asarray(flags, dtype=np.int32))
+    blk_flags = jnp.take(flag_tbl, best)
 
     # candidate packings, one per width, padded to the max block byte size
     bit_w = jnp.arange(8, dtype=jnp.uint32)
@@ -125,8 +147,8 @@ def pack_pcm(q: jnp.ndarray):
     packed = (
         out_words[:, None] >> jnp.asarray([0, 8, 16, 24], jnp.uint32)
     ).astype(jnp.uint8).reshape(-1)
-    # widx byte: bits 0-4 width index, bit 5 = third-difference flag
-    wout = (widx | (use3.astype(jnp.int32) << 5)).astype(jnp.uint8)
+    # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
+    wout = (widx | blk_flags).astype(jnp.uint8)
     return packed, (total_words * 4).astype(jnp.int32), wout
 
 
@@ -200,7 +222,7 @@ def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     NBt = widx.shape[0]
     NB = NBt // C
     wclass = (widx & 0x1F).astype(np.int64)
-    ord3 = (widx >> 5).astype(bool)
+    ord3 = ((widx >> 5) & 1).astype(bool)
     ws = np.asarray(WIDTHS, dtype=np.int64)
     bpb = ws[wclass] * BLOCK // 8  # bytes per block
     boff = np.cumsum(bpb) - bpb
@@ -224,15 +246,22 @@ def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     d = (z >> 1) ^ -(z & 1)  # un-zigzag: signed block values
     d_flat = d.reshape(C, NB * BLOCK)
     f = ord3.reshape(C, NB)
-    if f.any():
-        # order-3 blocks carry d3: within each RUN of flagged blocks d2 is
-        # the running sum of d3 seeded by the d2 value just before the run
-        # (last sample of an order-2 block — whose value IS its d2 — or 0
-        # at channel start)
-        f_s = np.repeat(f, BLOCK, axis=1)
-        S = np.cumsum(d_flat * f_s, axis=1)
-        first = f & ~np.concatenate(
-            [np.zeros((C, 1), bool), f[:, :-1]], axis=1
+    inter = ((widx >> 6) & 1).astype(bool).reshape(C, NB)
+
+    def chain_d2(v, fl):
+        """[K, NB*BLOCK] block values + order-3 flags [K, NB] -> d2.
+
+        Order-3 blocks carry d3: within each RUN of flagged blocks d2 is
+        the running sum of d3 seeded by the d2 value just before the run
+        (last sample of an order-2 block — whose value IS its d2 — or 0
+        at channel start)."""
+        if not fl.any():
+            return v
+        K = v.shape[0]
+        f_s = np.repeat(fl, BLOCK, axis=1)
+        S = np.cumsum(v * f_s, axis=1)
+        first = fl & ~np.concatenate(
+            [np.zeros((K, 1), bool), fl[:, :-1]], axis=1
         )
         startb = np.maximum.accumulate(
             np.where(first, np.arange(NB)[None, :], -1), axis=1
@@ -240,10 +269,21 @@ def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
         pre = np.repeat(startb * BLOCK - 1, BLOCK, axis=1)
         valid = pre >= 0
         idx = np.clip(pre, 0, NB * BLOCK - 1)
-        base = np.where(valid, np.take_along_axis(d_flat, idx, axis=1), 0)
+        base = np.where(valid, np.take_along_axis(v, idx, axis=1), 0)
         s_pre = np.where(valid, np.take_along_axis(S, idx, axis=1), 0)
-        d2 = np.where(f_s, base + S - s_pre, d_flat)
-    else:
-        d2 = d_flat
-    q = np.cumsum(np.cumsum(d2[:, :], axis=1), axis=1)[:, :L]
+        return np.where(f_s, base + S - s_pre, v)
+
+    d2 = np.empty_like(d_flat)
+    ev = np.arange(0, C, 2)
+    d2[ev] = chain_d2(d_flat[ev], f[ev])
+    od = np.arange(1, C, 2)
+    if od.size:
+        # inter blocks add the even partner's same-order difference
+        d2_p = d2[od - 1]
+        d3_p = np.diff(d2_p, axis=1, prepend=0)
+        f_s = np.repeat(f[od], BLOCK, axis=1)
+        g_s = np.repeat(inter[od], BLOCK, axis=1)
+        v = d_flat[od] + g_s * np.where(f_s, d3_p, d2_p)
+        d2[od] = chain_d2(v, f[od])
+    q = np.cumsum(np.cumsum(d2, axis=1), axis=1)[:, :L]
     return q.astype(np.int16)
