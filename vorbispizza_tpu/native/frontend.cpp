@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -922,48 +923,68 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     // sample. Order-2 blocks set ld2 directly; order-3 blocks accumulate
     // their d3 values into it. Inter blocks first add the pair partner's
     // same-order difference (d2out/d2in stash the partner's d2 stream).
+    // The per-block flag combination dispatches to a specialized inner
+    // loop so the sample loop carries no branches (single-core hosts pay
+    // for every one).
+    struct ChState {
+        int64_t acc1 = 0, acc2 = 0, ld2 = 0;
+    };
     auto decode_ch = [&](int64_t c, int32_t* d2out, const int32_t* d2in) {
         const uint8_t* p = data + ch_off[c];
-        int64_t acc1 = 0, acc2 = 0, ld2 = 0;
+        ChState st;
         int16_t* dst = out + c * L;
+        auto run_block = [&](auto ord3_t, auto inter_t, auto stash_t, int w,
+                             int64_t base) {
+            constexpr bool ORD3 = decltype(ord3_t)::value;
+            constexpr bool INTER = decltype(inter_t)::value;
+            constexpr bool STASH = decltype(stash_t)::value;
+            uint32_t mask = (1u << w) - 1;
+            int64_t acc1 = st.acc1, acc2 = st.acc2, ld2 = st.ld2;
+            int64_t nstore = L - base;
+            if (nstore > 128) nstore = 128;
+            if (nstore < 0) nstore = 0;
+            int16_t* d = dst + base;
+            for (int64_t i = 0; i < 128; i++) {
+                int64_t dd = 0;
+                if (w) {
+                    int64_t bit = i * w;
+                    uint64_t v8;
+                    std::memcpy(&v8, p + (bit >> 3), 8);  // block >=16B
+                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
+                    dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                }
+                if (INTER) {
+                    int64_t s = base + i;
+                    if (ORD3)
+                        dd += (int64_t)d2in[s] - (s ? (int64_t)d2in[s - 1] : 0);
+                    else
+                        dd += d2in[s];
+                }
+                if (ORD3) ld2 += dd; else ld2 = dd;
+                if (STASH) d2out[base + i] = (int32_t)ld2;
+                acc1 += ld2;
+                acc2 += acc1;
+                if (i < nstore) d[i] = (int16_t)acc2;
+            }
+            st.acc1 = acc1; st.acc2 = acc2; st.ld2 = ld2;
+        };
+        std::integral_constant<bool, false> F;
+        std::integral_constant<bool, true> T;
         for (int64_t b = 0; b < NB; b++) {
             uint8_t wb = widx[c * NB + b];
             int w = W[wb & 0x1F];
             bool ord3 = wb & 0x20;
             bool inter = (wb & 0x40) && d2in;
             int64_t base = b * 128;
-            uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
-            if (w == 0 && !inter && !d2out && !ord3) {
-                // all-zero d2 and nothing to stash: q advances linearly
-                for (int i = 0; i < 128; i++) {
-                    acc2 += acc1;
-                    int64_t s = base + i;
-                    if (s < L) dst[s] = (int16_t)acc2;
-                }
-                ld2 = 0;
-                continue;
-            }
-            for (int i = 0; i < 128; i++) {
-                int64_t s = base + i;
-                int64_t dd = 0;
-                if (w) {
-                    int64_t bit = (int64_t)i * w;
-                    uint64_t v8;
-                    std::memcpy(&v8, p + (bit >> 3), 8);  // block >=16B
-                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
-                    dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
-                }
-                if (inter) {
-                    if (ord3)
-                        dd += (int64_t)d2in[s] - (s ? (int64_t)d2in[s - 1] : 0);
-                    else
-                        dd += d2in[s];
-                }
-                if (ord3) ld2 += dd; else ld2 = dd;
-                if (d2out) d2out[s] = (int32_t)ld2;
-                acc1 += ld2;
-                acc2 += acc1;
-                if (s < L) dst[s] = (int16_t)acc2;
+            if (d2out) {
+                if (ord3) run_block(T, F, T, w, base);
+                else run_block(F, F, T, w, base);
+            } else if (inter) {
+                if (ord3) run_block(T, T, F, w, base);
+                else run_block(F, T, F, w, base);
+            } else {
+                if (ord3) run_block(T, F, F, w, base);
+                else run_block(F, F, F, w, base);
             }
             p += 16 * w;
         }
