@@ -149,13 +149,13 @@ def main() -> None:
     plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
     args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
     out_x = synth_x.run(*args_x)
-    np.asarray(out_x[2])  # warm + drain
+    np.asarray(out_x[1][:4])  # warm + drain (4-byte header pull)
     audio_x = sum(lens_x) / rate
     reps_x = 5
     t0 = time.perf_counter()
     for _ in range(reps_x):
         out_x = synth_x.run(*args_x)
-    np.asarray(out_x[2])
+    np.asarray(out_x[1][:4])
     rtf_exec = reps_x * audio_x / (time.perf_counter() - t0)
 
     # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------

@@ -322,21 +322,20 @@ def decode_corpus(
             return arr
         if output == "s16":
             if isinstance(arr, tuple) and arr[0] == "dpack":
-                from ..ops.pcm_pack import pull_bytes, unpack_pcm
+                from ..ops.pcm_pack import pull_wire, unpack_pcm
 
-                _, packed, nbytes, widx, out_len, total = arr
-                with t.stage("collect_wait"):
-                    nb = int(nbytes)  # blocks until the chunk's exec drains
+                _, buf, nbt, out_len, total = arr[:5]
+                page0 = arr[5] if len(arr) > 5 else None
                 with t.stage("collect_pull"), _pull_lock:
-                    # only the packed bytes cross the link (fixed-shape
-                    # pages: no per-length device programs). Pulls are
-                    # SERIALIZED across collector workers: the link is one
-                    # pipe, and concurrent transfers thrash it — one full-
-                    # bandwidth pull at a time while other workers unpack.
-                    data = pull_bytes(packed, nb)
-                    wtab = np.asarray(widx)
-                pulled_bytes[0] += nb + wtab.nbytes + 4
-                C = wtab.shape[0] * 128 // out_len
+                    # the first page carries [nbytes][widx] + payload head
+                    # (fixed-shape pages: no per-length device programs).
+                    # Pulls are SERIALIZED across collector workers: the
+                    # link is one pipe, and concurrent transfers thrash it
+                    # — one full-bandwidth pull at a time while other
+                    # workers unpack.
+                    nb, wtab, data = pull_wire(buf, nbt, page0)
+                pulled_bytes[0] += nb + nbt + 4
+                C = nbt * 128 // out_len
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
             with _pull_lock:
@@ -419,14 +418,18 @@ def decode_corpus(
             return
         fut = None
         if output != "device":
-            try:
-                if isinstance(merged_out, tuple):
-                    merged_out[2].copy_to_host_async()  # nbytes
-                    merged_out[3].copy_to_host_async()  # width table
-                else:
+            if isinstance(merged_out, tuple):
+                # launch the wire's header page now: its slice program
+                # queues right behind this chunk's execution, ahead of
+                # later chunks' programs
+                from ..ops.pcm_pack import start_page0
+
+                merged_out = merged_out + (start_page0(merged_out[1]),)
+            else:
+                try:
                     merged_out.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
+                except (AttributeError, RuntimeError):
+                    pass
             fut = collect_pool.submit(finish, merged_out)
         pending.append((chunk, pcm_lengths, merged_out, fut))
 

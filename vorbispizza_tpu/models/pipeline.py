@@ -624,9 +624,15 @@ class BatchSynthesizer:
                     jnp.int32
                 )
                 if output == "s16d":
-                    # delta block-pack wire (ops/pcm_pack.py): ~3x fewer
-                    # device->host bytes than raw s16 on typical audio
-                    return pack_pcm(q)
+                    # delta block-pack wire (ops/pcm_pack.py) as ONE
+                    # buffer [4B nbytes][widx][packed]: the host's first
+                    # page pull carries the header, so no separate
+                    # nbytes/widx round-trips
+                    packed, nbytes, widx = pack_pcm(q)
+                    hdr = (
+                        nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
+                    ).astype(jnp.uint8)
+                    return jnp.concatenate([hdr, widx, packed])
                 if output == "s16p":
                     # byte-plane wire format [2, C, L] u8 (lo, hi biased):
                     # the hi plane is slowly varying and compresses well on
@@ -883,10 +889,12 @@ class BatchSynthesizer:
         fn = self._fused_fn(sig)
         out = fn(*device_args)
         if sig[5] == "s16d":
-            # delta block-pack: (packed u8, nbytes, width table) covering
-            # the PADDED output; callers unpack then keep [:, :total]
-            packed, nbytes, widx = out
-            return ("dpack", packed, nbytes, widx, sig[3], total)
+            # delta block-pack single-buffer wire covering the PADDED
+            # output; callers pull via ops.pcm_pack.pull_wire, unpack,
+            # then keep [:, :total]
+            out_len = sig[3]
+            nbt = self.channels * (-(-out_len // 128))
+            return ("dpack", out, nbt, out_len, total)
         # output is padded to the quantized out_len in every position mode;
         # the kept samples occupy the first `total` columns in order
         # (last axis also for the [2, C, L] byte-plane format)

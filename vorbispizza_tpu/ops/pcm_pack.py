@@ -175,6 +175,54 @@ def _page_fn(size: int):
     return fn
 
 
+def start_page0(dev: "jnp.ndarray"):
+    """Launch the wire's first page (slice program + async host copy) so
+    it rides behind later work; hand the result to pull_wire."""
+    cap = int(dev.shape[0])
+    page = dev if cap <= _PAGE_BIG else _page_fn(_PAGE_BIG)(dev, 0)
+    try:
+        page.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+    return page
+
+
+def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
+    """Pull a single-buffer dpack wire [4B nbytes][widx u8[nbt]][packed]
+    -> (nbytes, widx, packed bytes). The header rides in the first page,
+    so a chunk costs no separate nbytes/widx round-trips."""
+    cap = int(dev.shape[0])
+    if page0 is None:
+        page0 = start_page0(dev)
+    h = np.asarray(page0)
+    first = h.shape[0]
+    nb = int(h[:4].view(np.int32)[0])
+    widx = h[4 : 4 + nbt]
+    data = np.empty(nb, dtype=np.uint8)
+    take0 = min(nb, first - 4 - nbt)
+    if take0 > 0:
+        data[:take0] = h[4 + nbt : 4 + nbt + take0]
+    off = 4 + nbt  # device offset of the payload
+    a = max(take0, 0)
+    pages = []
+    while a < nb:
+        size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
+        start = min(off + a, cap - size)
+        page = _page_fn(size)(dev, start)
+        try:
+            page.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        take = min(nb - a, size - (off + a - start))
+        pages.append((a, start, take, page))
+        a += take
+    for a, start, take, page in pages:
+        hst = np.asarray(page)
+        s0 = off + a - start
+        data[a : a + take] = hst[s0 : s0 + take]
+    return nb, widx, data
+
+
 def pull_bytes(dev: "jnp.ndarray", nb: int) -> np.ndarray:
     """Pull the first ``nb`` bytes of a (large) device u8 buffer using
     fixed-shape dynamic-start pages; returns np.uint8[nb]."""
