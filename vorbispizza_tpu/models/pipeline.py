@@ -595,19 +595,38 @@ class BatchSynthesizer:
                     # position seg_start[k] + (j - seg_base[k]). Three ints
                     # per kept range instead of one int per output sample
                     # (a merged corpus's position list would otherwise be
-                    # as large as the PCM itself).
+                    # as large as the PCM itself). seg_base is sorted over
+                    # the arange domain, so "which segment" is a unit
+                    # scatter + cumsum, NOT searchsorted (measured 483 ms
+                    # for a 5.3M searchsorted on v5e vs ~10 ms for the
+                    # cumsum; empty segments stack markers identically to
+                    # side="right" - 1).
                     seg_start, seg_base = rest[3], rest[4]
                     j = jnp.arange(sig[3], dtype=jnp.int32)
-                    k = (
-                        jnp.searchsorted(seg_base, j, side="right").astype(
-                            jnp.int32
-                        )
-                        - 1
+                    mk = jnp.zeros(sig[3], jnp.int32).at[seg_base].add(
+                        1, mode="drop"
                     )
+                    k = jnp.cumsum(mk) - 1
                     k = jnp.clip(k, 0, seg_base.shape[0] - 1)
                     pos = jnp.take(seg_start, k) + (j - jnp.take(seg_base, k))
                 F = offs.shape[0]
-                a = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
+                # frame-of-position via a global-coordinate lookup table
+                # (same scatter+cumsum trick; pos itself is not monotone
+                # across merged-stream segment boundaries, so gather from
+                # the table instead). Global positions are bounded by
+                # flat_len/2 + n (every frame advances its center by
+                # half_f): static table size.
+                n_max = max(p[1] for p in padded_n)
+                Lg = flat.shape[1] // 2 + n_max + 1
+                # lower-clip: scatter mode="drop" WRAPS negative indices
+                # (a trim can push the first support negative); stacking
+                # at 0 reproduces searchsorted semantics for pos >= 0.
+                # Padded-frame sentinels (int32 max) simply drop.
+                mg = jnp.zeros(Lg, jnp.int32).at[
+                    jnp.maximum(offs, 0)
+                ].add(1, mode="drop")
+                frame_of_global = jnp.cumsum(mg) - 1
+                a = jnp.take(frame_of_global, jnp.clip(pos, 0, Lg - 1))
                 a = jnp.clip(a, 0, F - 1)
                 a_valid = (pos >= jnp.take(offs, a)) & (pos < jnp.take(ends, a))
                 b = jnp.maximum(a - 1, 0)
