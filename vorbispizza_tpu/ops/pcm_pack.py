@@ -100,56 +100,52 @@ def pack_pcm(q: jnp.ndarray):
     wstack = jnp.stack(wis)  # [K, NBt]
     best = jnp.argmin(wstack * len(cands) + jnp.arange(len(cands))[:, None], axis=0)
     widx = jnp.take_along_axis(wstack, best[None, :], axis=0)[0]
-    blk = jnp.take_along_axis(
-        jnp.stack(cands), best[None, :, None].astype(jnp.int32), axis=0
-    )[0]
+    # select via where-accumulation, NOT stack + take_along_axis: XLA
+    # fuses each masked candidate into the accumulation instead of
+    # materializing a [K, NBt, BLOCK] stack in HBM and gathering rows
+    blk = cands[0]
+    for k in range(1, len(cands)):
+        blk = jnp.where((best == k)[:, None], cands[k], blk)
     flag_tbl = jnp.asarray(np.asarray(flags, dtype=np.int32))
     blk_flags = jnp.take(flag_tbl, best)
 
-    # candidate packings, one per width, padded to the max block byte size
+    # candidate packings, one per width, selected the same fused way
     bit_w = jnp.arange(8, dtype=jnp.uint32)
     byte_weights = (1 << bit_w).astype(jnp.uint32)
     max_bytes = 4 * WORDS[-1]
-    cands = []
-    for w in WIDTHS[1:]:
+    rows = jnp.zeros((NBt, max_bytes), jnp.uint8)
+    for wi_idx, w in enumerate(WIDTHS[1:], start=1):
         bits = (blk[:, :, None] >> jnp.arange(w, dtype=jnp.uint32)) & 1
         by = (
             bits.reshape(NBt, BLOCK * w // 8, 8) * byte_weights
         ).sum(axis=2).astype(jnp.uint8)
-        cands.append(
-            jnp.pad(by, ((0, 0), (0, max_bytes - by.shape[1])))
-        )
-    cand = jnp.stack([jnp.zeros((NBt, max_bytes), jnp.uint8), *cands])
-    rows = jnp.take_along_axis(
-        cand, widx[None, :, None].astype(jnp.int32), axis=0
-    )[0]
-    r4 = rows.reshape(NBt, WORDS[-1], 4).astype(jnp.uint32)
-    rows_u32 = (
-        r4[..., 0] | (r4[..., 1] << 8) | (r4[..., 2] << 16) | (r4[..., 3] << 24)
+        by = jnp.pad(by, ((0, 0), (0, max_bytes - by.shape[1])))
+        rows = jnp.where((widx == wi_idx)[:, None], by, rows)
+    # compaction at 16-BYTE granularity: every block's byte size 16*w is a
+    # multiple of 16, so the gather moves 4x fewer elements than per-word
+    # (each element copies a dense 16-byte group)
+    G_PER = 4 * WORDS[-1] // 16  # groups in a max-width block
+    r16 = rows.reshape(NBt, G_PER, 16)
+    groups_tbl = jnp.asarray(
+        np.asarray([4 * wd // 16 for wd in WORDS], dtype=np.int32)
     )
+    gpb = jnp.take(groups_tbl, widx)  # groups per block
+    goff = jnp.cumsum(gpb) - gpb  # exclusive group offsets
+    total_groups = goff[-1] + gpb[-1] if NBt else jnp.int32(0)
 
-    words_tbl = jnp.asarray(np.asarray(WORDS, dtype=np.int32))
-    wpb = jnp.take(words_tbl, widx)
-    woff = jnp.cumsum(wpb) - wpb  # exclusive word offsets
-    total_words = woff[-1] + wpb[-1] if NBt else jnp.int32(0)
-
-    cap_words = NBt * WORDS[-1]
-    # block id per output word: unit marker at each block's start offset
+    cap_groups = NBt * G_PER
+    # block id per output group: unit marker at each block's start offset
     # (empty blocks collapse — their marker stacks on the next offset)
-    marker = jnp.zeros(cap_words + 1, dtype=jnp.int32)
-    marker = marker.at[woff].add(1, mode="drop")
+    marker = jnp.zeros(cap_groups + 1, dtype=jnp.int32)
+    marker = marker.at[goff].add(1, mode="drop")
     blk_of = jnp.cumsum(marker[:-1]) - 1
     blk_of = jnp.clip(blk_of, 0, NBt - 1)
-    wib = jnp.arange(cap_words, dtype=jnp.int32) - jnp.take(woff, blk_of)
-    wib = jnp.clip(wib, 0, WORDS[-1] - 1)
-    out_words = rows_u32[blk_of, wib]
-
-    packed = (
-        out_words[:, None] >> jnp.asarray([0, 8, 16, 24], jnp.uint32)
-    ).astype(jnp.uint8).reshape(-1)
+    gib = jnp.arange(cap_groups, dtype=jnp.int32) - jnp.take(goff, blk_of)
+    gib = jnp.clip(gib, 0, G_PER - 1)
+    packed = r16[blk_of, gib].reshape(-1)
     # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
     wout = (widx | blk_flags).astype(jnp.uint8)
-    return packed, (total_words * 4).astype(jnp.int32), wout
+    return packed, (total_groups * 16).astype(jnp.int32), wout
 
 
 #: page sizes for sized pulls: a few big pages + one small tail page keeps
