@@ -20,7 +20,11 @@ class VorbisConfig:
     use_native_frontend: bool = True  # C++ entropy decode when available
     use_pallas_ola: bool | None = None  # None = auto (TPU only)
     corpus_workers: int = 8  # front-end thread pool size
-    corpus_batch_bytes: int = 12 << 20  # merged-transfer cap per execution
+    # merged-chunk cap per execution (dense spectrum bytes). Swept on the
+    # attached v5e (32x15s corpus): 6MB=123x, 12MB=165x, 24MB=183x,
+    # 48MB=53x (too few chunks to pipeline) — 24MB balances per-chunk
+    # dispatch overhead against transfer/exec overlap granularity.
+    corpus_batch_bytes: int = 24 << 20
     # s16 PCM wire format for host delivery (all lossless):
     #   "dpack"  — delta block-pack (ops/pcm_pack.py): second difference +
     #              per-128-sample-block bit width, ~3x fewer bytes than raw
