@@ -26,12 +26,25 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 _T0 = time.perf_counter()
+
+#: soft wall-clock budget: optional bench sections are skipped (their
+#: metrics report -2.0) once exceeded, so a cold compile cache or bad
+#: tunnel weather still yields the JSON line instead of a timeout
+_BUDGET_S = float(os.environ.get("VP_BENCH_BUDGET_S", "2400"))
+
+
+def _over_budget() -> bool:
+    over = time.perf_counter() - _T0 > _BUDGET_S
+    if over:
+        _mark("over budget: skipping optional section")
+    return over
 
 
 def _mark(msg: str) -> None:
@@ -117,6 +130,7 @@ def main() -> None:
 
     # ---- device-resident (no PCM pull; TPU-native deployment shape) ------------
     _mark("device-resident mode")
+    rtf_dev = -2.0
 
     def rtf_device():
         outs_ = decode_corpus(corpus, output="device")
@@ -128,35 +142,38 @@ def main() -> None:
         np.asarray(outs_[-1][:, -1])
         return outs_
 
-    rtf_device()  # warm
-    t0 = time.perf_counter()
-    rtf_device()
-    rtf_dev = total_audio / (time.perf_counter() - t0)
+    if not _over_budget():
+        rtf_device()  # warm
+        t0 = time.perf_counter()
+        rtf_device()
+        rtf_dev = total_audio / (time.perf_counter() - t0)
 
     # ---- device execution in isolation (no transfers in the timed loop) --------
     # Quantifies what the chip itself sustains: prepare (h2d) once, then
     # loop the fused program; the 4-byte nbytes pull at the end proves the
     # in-order queue drained (block_until_ready is unreliable here).
     _mark("device exec only")
+    rtf_exec = -2.0
     from vorbispizza_tpu.models.corpus import (
         _front_end,
         _synthesizer_for,
         merge_streams,
     )
 
-    fronts = [_front_end(c) for c in corpus[:8]]
-    synth_x = _synthesizer_for(fronts[0][0], fronts[0][1])
-    plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
-    args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
-    out_x = synth_x.run(*args_x)
-    np.asarray(out_x[1][:4])  # warm + drain (4-byte header pull)
-    audio_x = sum(lens_x) / rate
-    reps_x = 5
-    t0 = time.perf_counter()
-    for _ in range(reps_x):
+    if not _over_budget():
+        fronts = [_front_end(c) for c in corpus[:8]]
+        synth_x = _synthesizer_for(fronts[0][0], fronts[0][1])
+        plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
+        args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
         out_x = synth_x.run(*args_x)
-    np.asarray(out_x[1][:4])
-    rtf_exec = reps_x * audio_x / (time.perf_counter() - t0)
+        np.asarray(out_x[1][:4])  # warm + drain (4-byte header pull)
+        audio_x = sum(lens_x) / rate
+        reps_x = 5
+        t0 = time.perf_counter()
+        for _ in range(reps_x):
+            out_x = synth_x.run(*args_x)
+        np.asarray(out_x[1][:4])
+        rtf_exec = reps_x * audio_x / (time.perf_counter() - t0)
 
     # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------
     _mark("single file")
@@ -172,6 +189,7 @@ def main() -> None:
 
     # ---- 5.1 multichannel (Residue2 + coupling) ---------------------------------
     _mark("5.1 multichannel")
+    rtf51, err51 = -2.0, 0
     corpus51 = [
         encode_vorbis(
             make_signal(6, 10.0, rate=rate, kind="music", seed=100 + s),
@@ -180,15 +198,16 @@ def main() -> None:
         )
         for s in range(4)
     ]
-    r51 = VorbisReader(corpus51[0])
-    r51.initialize()
-    ref51 = r51.read_all(planar=True)
-    outs51 = decode_corpus(corpus51, output="s16")  # warm + shapes
-    q51 = np.clip(np.rint(ref51.astype(np.float64) * 32768.0), -32768, 32767)
-    err51 = int(np.abs(outs51[0].astype(np.int64) - q51.astype(np.int64)).max())
-    t0 = time.perf_counter()
-    decode_corpus(corpus51, output="s16")
-    rtf51 = (4 * 10.0) / (time.perf_counter() - t0)
+    if not _over_budget():
+        r51 = VorbisReader(corpus51[0])
+        r51.initialize()
+        ref51 = r51.read_all(planar=True)
+        outs51 = decode_corpus(corpus51, output="s16")  # warm + shapes
+        q51 = np.clip(np.rint(ref51.astype(np.float64) * 32768.0), -32768, 32767)
+        err51 = int(np.abs(outs51[0].astype(np.int64) - q51.astype(np.int64)).max())
+        t0 = time.perf_counter()
+        decode_corpus(corpus51, output="s16")
+        rtf51 = (4 * 10.0) / (time.perf_counter() - t0)
 
     # ---- chained + seek ----------------------------------------------------------
     _mark("chained + seek")
@@ -216,7 +235,7 @@ def main() -> None:
     # must compile under Mosaic and match the gather path bit-exactly.
     _mark("pallas vs gather check")
     pallas_check = -1.0
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _over_budget():
         from vorbispizza_tpu.models.pipeline import BatchSynthesizer
         from vorbispizza_tpu.testing.rawstream import (
             make_extreme_blocksize_stream,
@@ -242,8 +261,14 @@ def main() -> None:
         assert pallas_check == 0.0, f"Pallas OLA != gather OLA: {pallas_check}"
 
     # ---- physical ceiling of this environment ------------------------------------
+    # The link meters sustained use (token bucket): rates measured right
+    # after the heavy sections read the drained bucket, so take the best
+    # of two samples spaced by the (idle) encode of the tail configs.
     _mark("tunnel rate measurement")
     h2d_rate, d2h_rate = measure_tunnel(jax, jnp)
+    time.sleep(20)
+    h2d2, d2h2 = measure_tunnel(jax, jnp)
+    h2d_rate, d2h_rate = max(h2d_rate, h2d2), max(d2h_rate, d2h2)
     # the tunnel budget is aggregate (duplex shares one pipe): the floor is
     # total bytes moved at the direction-specific measured rates
     transfer_s = (h2d_mb * 1e6) / h2d_rate + (d2h_mb * 1e6) / d2h_rate
@@ -279,7 +304,7 @@ def main() -> None:
         )
     )
     assert max_err <= 1e-6, f"accuracy budget exceeded: {max_err}"
-    assert err51 <= 1, f"5.1 s16 error: {err51}"
+    assert err51 <= 1, f"5.1 s16 error: {err51}"  # 0 when section skipped
 
 
 if __name__ == "__main__":
