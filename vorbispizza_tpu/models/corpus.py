@@ -335,7 +335,7 @@ def decode_corpus(
                     # workers unpack.
                     nb, wtab, data = pull_wire(buf, nbt, page0)
                 pulled_bytes[0] += nb + nbt + 4
-                C = nbt * 128 // out_len
+                C = nbt // (-(-out_len // 128))  # nbt = C * ceil(L/128)
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
             with _pull_lock:
