@@ -244,37 +244,6 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
     return nb, widx, data
 
 
-def pull_bytes(dev: "jnp.ndarray", nb: int) -> np.ndarray:
-    """Pull the first ``nb`` bytes of a (large) device u8 buffer using
-    fixed-shape dynamic-start pages; returns np.uint8[nb]."""
-    cap = int(dev.shape[0])
-    if nb <= 0:
-        return np.empty(0, dtype=np.uint8)
-    if cap <= _PAGE_SMALL or nb >= cap - _PAGE_SMALL // 2:
-        return np.asarray(dev)[:nb]
-    out = np.empty(nb, dtype=np.uint8)
-    # launch every page slice + async copy FIRST, then materialize: the
-    # dispatch round-trips of page k+1 ride behind page k's transfer
-    # instead of serializing (per-call latency on remote links)
-    pages = []
-    a = 0
-    while a < nb:
-        size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
-        start = min(a, cap - size)
-        page = _page_fn(size)(dev, start)
-        try:
-            page.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
-        take = min(nb - a, size - (a - start))
-        pages.append((a, start, take, page))
-        a += take
-    for a, start, take, page in pages:
-        host = np.asarray(page)
-        out[a : a + take] = host[a - start : a - start + take]
-    return out
-
-
 def unpack_pcm(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     """Host-side unpack -> int16 [C, L]: the threaded C++ unpacker when
     available (native/frontend.cpp vp_unpack_pcm), else vectorized numpy."""
