@@ -277,6 +277,93 @@ class BatchSynthesizer:
             (flat_base + sup_start - offsets_eff).astype(np.int32),  # fbase-off
         )
 
+    @staticmethod
+    def _build_events(offs, ends, fbase, segs, total):
+        """j-domain OLA mapping events (host, tiny).
+
+        Within a RUN (one frame covering consecutive kept outputs) the
+        gather indices a_idx/b_idx advance by exactly +1 per sample and
+        the validity masks are constant-until-one-flip, so the device can
+        reconstruct all four per-sample arrays with unit scatters +
+        cumsums — no per-sample table gathers (measured: each 5.3M-index
+        take costs 45-66 ms on v5e; a cumsum ~8 ms). Events are segment
+        starts, frame crossings (offs hit), validity turn-offs (ends
+        hit), and one terminal reset at j=total.
+
+        Returns int32 arrays (ev_j, ev_da, ev_db, ev_va, ev_vb): at each
+        ev_j, ev_da/ev_db adjust the +1/sample drift of a_idx/b_idx and
+        ev_va/ev_vb add validity-level deltas."""
+        F = len(offs)
+        j_l, f_l, p_l, e_l = [], [], [], []
+        c = 0
+        for s_, e_ in segs:
+            if e_ <= s_:
+                continue
+            lk = int(e_ - s_)
+            f0 = int(np.searchsorted(offs, s_, side="right")) - 1
+            f_hi = int(np.searchsorted(offs, e_ - 1, side="right"))
+            cross = np.arange(f0 + 1, f_hi, dtype=np.int64)
+            rj = np.concatenate([[c], c + offs[cross] - s_])
+            rf = np.concatenate([[f0], cross])
+            j_l.append(rj)
+            f_l.append(rf)
+            p_l.append(s_ + rj - c)
+            e_l.append(np.concatenate([rj[1:], [c + lk]]))
+            c += lk
+        zero = np.zeros(1, dtype=np.int32)
+        if not j_l:
+            return zero, zero, zero, zero.copy(), zero.copy()
+        rj = np.concatenate(j_l).astype(np.int64)
+        rf = np.concatenate(f_l).astype(np.int64)
+        rp = np.concatenate(p_l).astype(np.int64)
+        re_ = np.concatenate(e_l).astype(np.int64)
+        offs = offs.astype(np.int64)
+        ends = ends.astype(np.int64)
+        fbase = fbase.astype(np.int64)
+        acl = np.clip(rf, 0, F - 1)
+        bcl = np.clip(rf - 1, 0, F - 1)
+        a_tgt = fbase[acl] + rp
+        b_tgt = fbase[bcl] + rp
+        # index deltas vs the natural +1/sample drift between events
+        step = rj[1:] - rj[:-1]
+        da = a_tgt - np.concatenate([[0], a_tgt[:-1] + step])
+        db = b_tgt - np.concatenate([[0], b_tgt[:-1] + step])
+        # validity: level at run start, mid-run turn-off when pos hits the
+        # frame's effective end, carry into the next (j-contiguous) run
+        va_on = (rf >= 0) & (rp < ends[acl])
+        vb_on = (rf > 0) & (rp < ends[bcl])
+        va_off = rj + np.maximum(ends[acl] - rp, 0)
+        vb_off = rj + np.maximum(ends[bcl] - rp, 0)
+        va_in = va_on & (va_off < re_)
+        vb_in = vb_on & (vb_off < re_)
+        va_lvl = (va_on & ~va_in).astype(np.int64)  # level carried out
+        vb_lvl = (vb_on & ~vb_in).astype(np.int64)
+        dva = va_on.astype(np.int64) - np.concatenate([[0], va_lvl[:-1]])
+        dvb = vb_on.astype(np.int64) - np.concatenate([[0], vb_lvl[:-1]])
+        nz = np.zeros
+        ev_j = np.concatenate(
+            [rj, va_off[va_in], vb_off[vb_in], [total]]
+        )
+        ev_da = np.concatenate(
+            [da, nz(va_in.sum()), nz(vb_in.sum()), [0]]
+        )
+        ev_db = np.concatenate(
+            [db, nz(va_in.sum()), nz(vb_in.sum()), [0]]
+        )
+        ev_va = np.concatenate(
+            [dva, -np.ones(va_in.sum()), nz(vb_in.sum()), [-va_lvl[-1]]]
+        )
+        ev_vb = np.concatenate(
+            [dvb, nz(va_in.sum()), -np.ones(vb_in.sum()), [-vb_lvl[-1]]]
+        )
+        return (
+            ev_j.astype(np.int32),
+            ev_da.astype(np.int32),
+            ev_db.astype(np.int32),
+            ev_va.astype(np.int32),
+            ev_vb.astype(np.int32),
+        )
+
     def _sym_static(self, key):
         """Structural description of symbol transport for one bucket key
         (cached): per submap the region geometry, per-pass group lists,
@@ -585,66 +672,19 @@ class BatchSynthesizer:
                     )
                 pcm = out
             else:
-                offs, ends, fbase_off = rest[0], rest[1], rest[2]
-                # kept output positions (global coords)
-                if segments is None:
-                    pos = jnp.arange(sig[3], dtype=jnp.int32)
-                else:
-                    # ("segs", Sp): per-SEGMENT descriptors expanded on
-                    # device — output index j in segment k maps to global
-                    # position seg_start[k] + (j - seg_base[k]). Three ints
-                    # per kept range instead of one int per output sample
-                    # (a merged corpus's position list would otherwise be
-                    # as large as the PCM itself). seg_base is sorted over
-                    # the arange domain, so "which segment" is a unit
-                    # scatter + cumsum, NOT searchsorted (measured 483 ms
-                    # for a 5.3M searchsorted on v5e vs ~10 ms for the
-                    # cumsum; empty segments stack markers identically to
-                    # side="right" - 1).
-                    seg_start, seg_base = rest[3], rest[4]
-                    j = jnp.arange(sig[3], dtype=jnp.int32)
-                    mk = jnp.zeros(sig[3], jnp.int32).at[seg_base].add(
-                        1, mode="drop"
-                    )
-                    k = jnp.cumsum(mk) - 1
-                    k = jnp.clip(k, 0, seg_base.shape[0] - 1)
-                    # one row gather, not two scalar takes: wider slices
-                    # amortize the per-index gather cost on TPU
-                    seg_tbl = jnp.stack([seg_start, seg_base], axis=1)
-                    sr = jnp.take(seg_tbl, k, axis=0)
-                    pos = sr[:, 0] + (j - sr[:, 1])
-                F = offs.shape[0]
-                # frame-of-position via a global-coordinate lookup table
-                # (same scatter+cumsum trick; pos itself is not monotone
-                # across merged-stream segment boundaries, so gather from
-                # the table instead). Global positions are bounded by
-                # flat_len/2 + n (every frame advances its center by
-                # half_f): static table size.
-                n_max = max(p[1] for p in padded_n)
-                Lg = flat.shape[1] // 2 + n_max + 1
-                # lower-clip: scatter mode="drop" WRAPS negative indices
-                # (a trim can push the first support negative); stacking
-                # at 0 reproduces searchsorted semantics for pos >= 0.
-                # Padded-frame sentinels (int32 max) simply drop.
-                mg = jnp.zeros(Lg, jnp.int32).at[
-                    jnp.maximum(offs, 0)
-                ].add(1, mode="drop")
-                frame_of_global = jnp.cumsum(mg) - 1
-                a = jnp.take(frame_of_global, jnp.clip(pos, 0, Lg - 1))
-                a = jnp.clip(a, 0, F - 1)
-                b = jnp.maximum(a - 1, 0)
-                # per-frame lookups as TWO row gathers instead of five
-                # scalar takes (each scalar take of 5.3M indices costs
-                # ~45-66 ms on v5e; a 4-wide row take costs ~39 ms)
-                frame_tbl = jnp.stack(
-                    [offs, ends, fbase_off, jnp.zeros_like(offs)], axis=1
-                )
-                ra = jnp.take(frame_tbl, a, axis=0)
-                rb = jnp.take(frame_tbl, b, axis=0)
-                a_valid = (pos >= ra[:, 0]) & (pos < ra[:, 1])
-                b_valid = (a > 0) & (pos < rb[:, 1])
-                a_idx = ra[:, 2] + pos
-                b_idx = rb[:, 2] + pos
+                # ("ev", Ep): the gather indices and validity masks are
+                # piecewise j+const / piecewise-constant, so they expand
+                # from HOST-precomputed events (_build_events) with unit
+                # scatters + cumsums — no per-sample table gathers at all
+                # (each 5.3M-index take costs 45-66 ms on v5e; a cumsum
+                # ~8 ms). Padding events scatter at j=out_len: dropped.
+                ev_j, ev_da, ev_db, ev_va, ev_vb = rest[:5]
+                ones = jnp.ones(sig[3], jnp.int32)
+                zero = jnp.zeros(sig[3], jnp.int32)
+                a_idx = jnp.cumsum(ones.at[ev_j].add(ev_da, mode="drop")) - 1
+                b_idx = jnp.cumsum(ones.at[ev_j].add(ev_db, mode="drop")) - 1
+                a_valid = jnp.cumsum(zero.at[ev_j].add(ev_va, mode="drop")) > 0
+                b_valid = jnp.cumsum(zero.at[ev_j].add(ev_vb, mode="drop")) > 0
                 pcm = gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
             if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
@@ -872,39 +912,22 @@ class BatchSynthesizer:
             F_tab = 0
         else:
             offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
-            # pad the frame tables (offs stays ascending via +inf sentinels)
-            F_tab = _pad_size(len(offs))
-            pad_f = F_tab - len(offs)
-            if pad_f:
-                offs = np.concatenate(
-                    [offs, np.full(pad_f, np.iinfo(np.int32).max, dtype=np.int32)]
-                )
-                ends = np.concatenate([ends, np.zeros(pad_f, dtype=np.int32)])
-                fbase_off = np.concatenate(
-                    [fbase_off, np.zeros(pad_f, dtype=np.int32)]
-                )
-            segs = plan.segments
-            uniform = len(segs) == 1 and segs[0][0] == 0
             out_len = _pad_size(max(total, 1), 65536)
-            host_args.extend([offs, ends, fbase_off])
-            if uniform:
-                # kept positions are exactly [0, total): generate on device
-                seg_sig = None
-            else:
-                # per-segment descriptors; positions expand on device (the
-                # padded tail maps to a far sentinel so it gathers zeros).
-                # Sp is quantized so similar corpora reuse the program.
-                kept = [(s_, e_) for s_, e_ in segs if e_ > s_]
-                Sp = _pad_size(max(len(kept), 1), 16)
-                seg_sig = ("segs", Sp)
-                seg_start = np.full(Sp, 1 << 30, dtype=np.int32)
-                seg_base = np.full(Sp, max(total, 1), dtype=np.int32)
-                c = 0
-                for i_, (s_, e_) in enumerate(kept):
-                    seg_start[i_] = s_
-                    seg_base[i_] = c
-                    c += e_ - s_
-                host_args.extend([seg_start, seg_base])
+            evs = self._build_events(
+                offs, ends, fbase_off, plan.segments, total
+            )
+            # pad event lists to a quantized size; padding scatters at
+            # j=out_len, which mode="drop" discards
+            E = len(evs[0])
+            Ep = _pad_size(E, 64)
+            for i_, a_ in enumerate(evs):
+                pad_arr = np.full(
+                    Ep, out_len if i_ == 0 else 0, dtype=np.int32
+                )
+                pad_arr[:E] = a_
+                host_args.append(pad_arr)
+            seg_sig = ("ev", Ep)
+            F_tab = 0
         sig = (
             statics,
             tuple(padded_n),
