@@ -2,13 +2,13 @@
 
 Measures, on the attached chip:
   1. headline  — 32x15s stereo 44.1 kHz corpus -> host s16 (the BASELINE
-     "batched corpus" config), with a stage breakdown (DecodeTimer) and
-     h2d/d2h byte counts;
-  2. device-resident mode (PCM stays in HBM for downstream TPU consumers);
-  3. 5.1 multichannel (Residue2 + coupling, BASELINE config #3);
-  4. chained streams + seeking (BASELINE config #4);
-  5. a Pallas-vs-gather OLA cross-check on a 64/8192 block-switching stream
-     (every hop class under Mosaic, not interpret);
+     "batched corpus" config), median of up to 3 reps with min/max spread,
+     stage breakdown (DecodeTimer) and h2d/d2h byte counts;
+  2. device execution in isolation (no transfers in the timed loop);
+  3. 5.1 multichannel (Residue2 + coupling, BASELINE config #3), with its
+     own exec-only metric;
+  4. device-resident mode (PCM stays in HBM for downstream TPU consumers);
+  5. chained streams + seeking (BASELINE config #4);
   6. raw tunnel rates (computed, incompressible payloads) -> a physical
      ceiling for this environment and the achieved fraction.
 
@@ -20,13 +20,20 @@ headline here is the achieved fraction of the measured physical ceiling
 numbers of its own).
 
 Accuracy is asserted against the float64 scalar anchor each run.
-Prints ONE JSON line.
+
+Prints ONE JSON line — ALWAYS. The results dict is updated section by
+section and flushed exactly once, whether we finish, blow the soft budget
+(optional sections report -2.0), hit the hard self-alarm, or receive the
+driver's SIGTERM. The driver kills at ~1800 s; the hard alarm fires before
+that so the line lands with whatever sections completed.
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -35,9 +42,71 @@ import numpy as np
 _T0 = time.perf_counter()
 
 #: soft wall-clock budget: optional bench sections are skipped (their
-#: metrics report -2.0) once exceeded, so a cold compile cache or bad
-#: tunnel weather still yields the JSON line instead of a timeout
-_BUDGET_S = float(os.environ.get("VP_BENCH_BUDGET_S", "2400"))
+#: metrics stay -2.0) once exceeded, so a cold compile cache or bad
+#: tunnel weather still yields every mandatory number
+_BUDGET_S = float(os.environ.get("VP_BENCH_BUDGET_S", "1000"))
+#: hard self-deadline: SIGALRM flushes the JSON and exits, safely before
+#: the driver's ~1800 s kill window
+_HARD_S = float(os.environ.get("VP_BENCH_HARD_S", "1450"))
+
+RESULTS = {
+    "metric": "decode_rtf_corpus",
+    "value": -2.0,
+    "unit": "x_realtime_per_chip",
+    "vs_baseline": -0.002,
+    "value_min": -2.0,
+    "value_max": -2.0,
+    "value_reps": 0,
+    "rtf_device_resident": -2.0,
+    "rtf_single_file": -2.0,
+    "rtf_device_exec_only": -2.0,
+    "rtf_multichannel_5_1": -2.0,
+    "rtf_exec_5_1": -2.0,
+    "chained_seek_ms": -2.0,
+    "stages_s": {},
+    "h2d_mb": -2.0,
+    "d2h_mb": -2.0,
+    "tunnel_h2d_mbps": -2.0,
+    "tunnel_d2h_mbps": -2.0,
+    "tunnel_ceiling_rtf": -2.0,
+    "fraction_of_ceiling": -2.0,
+    "pallas_vs_gather_max_err": -1.0,
+    "max_abs_err_vs_anchor": -2.0,
+    "s16_err_5_1_lsb": 0,
+    "corpus_streams": 0,
+    "corpus_audio_seconds": 0.0,
+    "backend": "",
+    "bench_wall_s": -2.0,
+}
+
+_emitted = [False]
+
+
+def _emit_json() -> None:
+    """Print the one JSON line exactly once (normal end, atexit, signal)."""
+    if _emitted[0]:
+        return
+    _emitted[0] = True
+    RESULTS["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
+    print(json.dumps(RESULTS), flush=True)
+    try:
+        signal.alarm(0)  # line is out: the hard deadline has done its job
+    except Exception:
+        pass
+
+
+def _install_guards() -> None:
+    atexit.register(_emit_json)
+
+    def on_signal(signum, frame):
+        _mark(f"signal {signum}: flushing JSON and exiting")
+        _emit_json()
+        sys.stdout.flush()
+        os._exit(3)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGALRM, on_signal)
+    signal.alarm(int(_HARD_S))
 
 
 def _over_budget() -> bool:
@@ -74,6 +143,7 @@ def measure_tunnel(jax, jnp):
 
 
 def main() -> None:
+    _install_guards()
     import jax
     import jax.numpy as jnp
 
@@ -91,6 +161,8 @@ def main() -> None:
     )
     from vorbispizza_tpu.utils.profiling import DecodeTimer
 
+    RESULTS["backend"] = jax.default_backend()
+
     _mark("encoding corpus")
     rate = 44100
     n_streams = 32
@@ -104,56 +176,68 @@ def main() -> None:
         for seed in range(n_streams)
     ]
     total_audio = n_streams * seconds
+    RESULTS["corpus_streams"] = n_streams
+    RESULTS["corpus_audio_seconds"] = round(total_audio, 1)
 
     # ---- accuracy vs the float64 scalar anchor ---------------------------------
+    # (mandatory; also the first chip contact, which can absorb minutes on
+    # bad hours — everything below stays budget-gated against that)
     _mark("accuracy check (first compile)")
     r = VorbisReader(corpus[0])
     r.initialize()
     ref = r.read_all(planar=True)
     outs = decode_corpus(corpus[:1])
     max_err = float(np.abs(outs[0] - ref).max())
+    RESULTS["max_abs_err_vs_anchor"] = max_err
 
-    # ---- headline: corpus -> host s16, stage-attributed ------------------------
+    # ---- tunnel rates (cheap; needed for the ceiling) --------------------------
+    _mark("tunnel rate measurement")
+    h2d_rate, d2h_rate = measure_tunnel(jax, jnp)
+    RESULTS["tunnel_h2d_mbps"] = round(h2d_rate / 1e6, 1)
+    RESULTS["tunnel_d2h_mbps"] = round(d2h_rate / 1e6, 1)
+
+    # ---- headline: corpus -> host s16, stage-attributed, median-of-reps --------
     _mark("headline warm (compile)")
     decode_corpus(corpus, output="s16")  # warm (compile)
     _mark("headline timed reps")
-    reps = 2
+    rep_rtfs = []
     timer = DecodeTimer()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        decode_corpus(corpus, output="s16", timer=timer)
-    wall = (time.perf_counter() - t0) / reps
-    rtf_s16 = total_audio / wall
-    stages = {k: round(v / reps, 3) for k, v in timer.stages.items()}
-    h2d_mb = timer.counters.get("h2d_bytes", 0) / reps / 1e6
-    d2h_mb = timer.counters.get("d2h_bytes", 0) / reps / 1e6
-
-    # ---- device-resident (no PCM pull; TPU-native deployment shape) ------------
-    _mark("device-resident mode")
-    rtf_dev = -2.0
-
-    def rtf_device():
-        outs_ = decode_corpus(corpus, output="device")
-        for o in outs_:
-            o.block_until_ready()
-        # block_until_ready is unreliable over the tunnel: pull one value
-        # to prove the (in-order) device queue drained, without paying a
-        # PCM-sized transfer
-        np.asarray(outs_[-1][:, -1])
-        return outs_
-
-    if not _over_budget():
-        rtf_device()  # warm
+    max_reps = 3
+    for rep in range(max_reps):
         t0 = time.perf_counter()
-        rtf_device()
-        rtf_dev = total_audio / (time.perf_counter() - t0)
+        decode_corpus(corpus, output="s16", timer=timer)
+        rep_rtfs.append(total_audio / (time.perf_counter() - t0))
+        # record the best-known median after every rep (run-to-run tunnel
+        # weather swings 3x; one spike must not halve the recorded score)
+        reps = len(rep_rtfs)
+        RESULTS["value"] = round(float(np.median(rep_rtfs)), 2)
+        RESULTS["value_min"] = round(min(rep_rtfs), 2)
+        RESULTS["value_max"] = round(max(rep_rtfs), 2)
+        RESULTS["value_reps"] = reps
+        RESULTS["vs_baseline"] = round(RESULTS["value"] / 1000.0, 4)
+        RESULTS["stages_s"] = {
+            k: round(v / reps, 3) for k, v in timer.stages.items()
+        }
+        h2d_mb = timer.counters.get("h2d_bytes", 0) / reps / 1e6
+        d2h_mb = timer.counters.get("d2h_bytes", 0) / reps / 1e6
+        RESULTS["h2d_mb"] = round(h2d_mb, 1)
+        RESULTS["d2h_mb"] = round(d2h_mb, 1)
+        transfer_s = h2d_mb * 1e6 / h2d_rate + d2h_mb * 1e6 / d2h_rate
+        ceiling = total_audio / transfer_s if transfer_s > 0 else -1.0
+        RESULTS["tunnel_ceiling_rtf"] = round(ceiling, 1)
+        RESULTS["fraction_of_ceiling"] = (
+            round(RESULTS["value"] / ceiling, 3) if ceiling > 0 else -1.0
+        )
+        if rep >= 1 and time.perf_counter() - _T0 > _BUDGET_S * 0.6:
+            _mark("headline: stopping reps early (budget)")
+            break
+    rtf_s16 = RESULTS["value"]
 
     # ---- device execution in isolation (no transfers in the timed loop) --------
     # Quantifies what the chip itself sustains: prepare (h2d) once, then
     # loop the fused program; the 4-byte nbytes pull at the end proves the
     # in-order queue drained (block_until_ready is unreliable here).
     _mark("device exec only")
-    rtf_exec = -2.0
     from vorbispizza_tpu.models.corpus import (
         _front_end,
         _synthesizer_for,
@@ -161,35 +245,27 @@ def main() -> None:
     )
 
     if not _over_budget():
-        fronts = [_front_end(c) for c in corpus[:8]]
-        synth_x = _synthesizer_for(fronts[0][0], fronts[0][1])
-        plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
-        args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
-        out_x = synth_x.run(*args_x)
-        np.asarray(out_x[1][:4])  # warm + drain (4-byte header pull)
-        audio_x = sum(lens_x) / rate
-        reps_x = 5
-        t0 = time.perf_counter()
-        for _ in range(reps_x):
+        try:
+            fronts = [_front_end(c) for c in corpus[:8]]
+            synth_x = _synthesizer_for(fronts[0][0], fronts[0][1])
+            plan_x, buckets_x, lens_x = merge_streams([f[2:4] for f in fronts])
+            args_x = synth_x.prepare(plan_x, buckets_x, "s16d")
             out_x = synth_x.run(*args_x)
-        np.asarray(out_x[1][:4])
-        rtf_exec = reps_x * audio_x / (time.perf_counter() - t0)
-
-    # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------
-    _mark("single file")
-    try:
-        single = open("/root/reference/TestFiles/1test.ogg", "rb").read()
-    except OSError:
-        single = corpus[0]
-    outs1 = decode_corpus([single], output="s16")  # warm
-    single_seconds = outs1[0].shape[1] / rate
-    t0 = time.perf_counter()
-    decode_corpus([single], output="s16")
-    rtf_single = single_seconds / (time.perf_counter() - t0)
+            np.asarray(out_x[1][:4])  # warm + drain (4-byte header pull)
+            audio_x = sum(lens_x) / rate
+            reps_x = 5
+            t0 = time.perf_counter()
+            for _ in range(reps_x):
+                out_x = synth_x.run(*args_x)
+            np.asarray(out_x[1][:4])
+            RESULTS["rtf_device_exec_only"] = round(
+                reps_x * audio_x / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:  # pragma: no cover - report, don't die
+            _mark(f"exec-only section failed: {e!r}")
 
     # ---- 5.1 multichannel (Residue2 + coupling) ---------------------------------
     _mark("5.1 multichannel")
-    rtf51, err51 = -2.0, 0
     corpus51 = [
         encode_vorbis(
             make_signal(6, 10.0, rate=rate, kind="music", seed=100 + s),
@@ -199,33 +275,105 @@ def main() -> None:
         for s in range(4)
     ]
     if not _over_budget():
-        r51 = VorbisReader(corpus51[0])
-        r51.initialize()
-        ref51 = r51.read_all(planar=True)
-        outs51 = decode_corpus(corpus51, output="s16")  # warm + shapes
-        q51 = np.clip(np.rint(ref51.astype(np.float64) * 32768.0), -32768, 32767)
-        err51 = int(np.abs(outs51[0].astype(np.int64) - q51.astype(np.int64)).max())
-        t0 = time.perf_counter()
-        decode_corpus(corpus51, output="s16")
-        rtf51 = (4 * 10.0) / (time.perf_counter() - t0)
+        try:
+            r51 = VorbisReader(corpus51[0])
+            r51.initialize()
+            ref51 = r51.read_all(planar=True)
+            outs51 = decode_corpus(corpus51, output="s16")  # warm + shapes
+            q51 = np.clip(np.rint(ref51.astype(np.float64) * 32768.0), -32768, 32767)
+            RESULTS["s16_err_5_1_lsb"] = int(
+                np.abs(outs51[0].astype(np.int64) - q51.astype(np.int64)).max()
+            )
+            t0 = time.perf_counter()
+            decode_corpus(corpus51, output="s16")
+            RESULTS["rtf_multichannel_5_1"] = round(
+                (4 * 10.0) / (time.perf_counter() - t0), 2
+            )
+            # exec-only for the 6-channel path (VERDICT r2 asked for the
+            # attribution surface)
+            fronts51 = [_front_end(c) for c in corpus51]
+            synth51 = _synthesizer_for(fronts51[0][0], fronts51[0][1])
+            plan51, buckets51, lens51 = merge_streams(
+                [f[2:4] for f in fronts51]
+            )
+            a51 = synth51.prepare(plan51, buckets51, "s16d")
+            o51 = synth51.run(*a51)
+            np.asarray(o51[1][:4])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                o51 = synth51.run(*a51)
+            np.asarray(o51[1][:4])
+            RESULTS["rtf_exec_5_1"] = round(
+                5 * sum(lens51) / rate / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:  # pragma: no cover
+            _mark(f"5.1 section failed: {e!r}")
+
+    # ---- device-resident (no PCM pull; TPU-native deployment shape) ------------
+    _mark("device-resident mode")
+    if not _over_budget():
+        try:
+
+            def rtf_device():
+                outs_ = decode_corpus(corpus, output="device")
+                for o in outs_:
+                    o.block_until_ready()
+                # block_until_ready is unreliable over the tunnel: pull one
+                # value to prove the (in-order) device queue drained, without
+                # paying a PCM-sized transfer
+                np.asarray(outs_[-1][:, -1])
+                return outs_
+
+            rtf_device()  # warm
+            t0 = time.perf_counter()
+            rtf_device()
+            RESULTS["rtf_device_resident"] = round(
+                total_audio / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:  # pragma: no cover
+            _mark(f"device-resident section failed: {e!r}")
+
+    # ---- single stereo file (BASELINE config #1: TestFiles/1test.ogg) ----------
+    _mark("single file")
+    if not _over_budget():
+        try:
+            try:
+                single = open("/root/reference/TestFiles/1test.ogg", "rb").read()
+            except OSError:
+                single = corpus[0]
+            outs1 = decode_corpus([single], output="s16")  # warm
+            single_seconds = outs1[0].shape[1] / rate
+            t0 = time.perf_counter()
+            decode_corpus([single], output="s16")
+            RESULTS["rtf_single_file"] = round(
+                single_seconds / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:  # pragma: no cover
+            _mark(f"single-file section failed: {e!r}")
 
     # ---- chained + seek ----------------------------------------------------------
     _mark("chained + seek")
-    a = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=200),
-                      rate=rate, quality=0.4, serial=1)
-    b = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=201),
-                      rate=rate, quality=0.4, serial=2)
-    chained = chain_streams(a, b)
-    rd = VorbisReader(chained, accelerated=True)
-    rd.initialize()
-    rd.read_samples(1024)  # warm (full batch decode happens here)
-    rng = np.random.default_rng(0)
-    positions = rng.integers(0, rd.total_samples - 4096, size=64)
-    t0 = time.perf_counter()
-    for p in positions:
-        rd.seek_to(int(p))
-        rd.read_samples(1024)
-    seek_ms = (time.perf_counter() - t0) / len(positions) * 1e3
+    if not _over_budget():
+        try:
+            a = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=200),
+                              rate=rate, quality=0.4, serial=1)
+            b = encode_vorbis(make_signal(2, 8.0, rate=rate, kind="music", seed=201),
+                              rate=rate, quality=0.4, serial=2)
+            chained = chain_streams(a, b)
+            rd = VorbisReader(chained, accelerated=True)
+            rd.initialize()
+            rd.read_samples(1024)  # warm (full batch decode happens here)
+            rng = np.random.default_rng(0)
+            positions = rng.integers(0, rd.total_samples - 4096, size=64)
+            t0 = time.perf_counter()
+            for p in positions:
+                rd.seek_to(int(p))
+                rd.read_samples(1024)
+            RESULTS["chained_seek_ms"] = round(
+                (time.perf_counter() - t0) / len(positions) * 1e3, 2
+            )
+        except Exception as e:  # pragma: no cover
+            _mark(f"chained section failed: {e!r}")
 
     # ---- Pallas OLA vs gather path under Mosaic (hop-class coverage) ------------
     # Current Mosaic only accepts 128-aligned DMA hop geometry, so the
@@ -234,77 +382,57 @@ def main() -> None:
     # engagement modes are checked here on the real chip: the aligned class
     # must compile under Mosaic and match the gather path bit-exactly.
     _mark("pallas vs gather check")
-    pallas_check = -1.0
     if jax.default_backend() == "tpu" and not _over_budget():
-        from vorbispizza_tpu.models.pipeline import BatchSynthesizer
-        from vorbispizza_tpu.testing.rawstream import (
-            make_extreme_blocksize_stream,
-        )
-
-        saved = VorbisConfig.default.use_pallas_ola
         try:
-            pallas_check = 0.0
-            for pattern in ("long", "short", "alternate"):
-                ext = make_extreme_blocksize_stream(
-                    n_packets=24, pattern=pattern
-                )
-                VorbisConfig.default.use_pallas_ola = True
-                via_pallas = decode_file_batch(ext)
-                VorbisConfig.default.use_pallas_ola = False
-                via_gather = decode_file_batch(ext)
-                pallas_check = max(
-                    pallas_check,
-                    float(np.abs(via_pallas - via_gather).max()),
-                )
-        finally:
-            VorbisConfig.default.use_pallas_ola = saved
-        assert pallas_check == 0.0, f"Pallas OLA != gather OLA: {pallas_check}"
+            from vorbispizza_tpu.testing.rawstream import (
+                make_extreme_blocksize_stream,
+            )
 
-    # ---- physical ceiling of this environment ------------------------------------
-    # The link meters sustained use (token bucket): rates measured right
-    # after the heavy sections read the drained bucket, so take the best
-    # of two samples spaced by the (idle) encode of the tail configs.
-    _mark("tunnel rate measurement")
-    h2d_rate, d2h_rate = measure_tunnel(jax, jnp)
-    time.sleep(20)
-    h2d2, d2h2 = measure_tunnel(jax, jnp)
-    h2d_rate, d2h_rate = max(h2d_rate, h2d2), max(d2h_rate, d2h2)
-    # the tunnel budget is aggregate (duplex shares one pipe): the floor is
-    # total bytes moved at the direction-specific measured rates
-    transfer_s = (h2d_mb * 1e6) / h2d_rate + (d2h_mb * 1e6) / d2h_rate
-    ceiling_rtf = total_audio / transfer_s if transfer_s > 0 else -1.0
-    fraction = rtf_s16 / ceiling_rtf if ceiling_rtf > 0 else -1.0
+            saved = VorbisConfig.default.use_pallas_ola
+            try:
+                pallas_check = 0.0
+                for pattern in ("long", "short", "alternate"):
+                    ext = make_extreme_blocksize_stream(
+                        n_packets=24, pattern=pattern
+                    )
+                    VorbisConfig.default.use_pallas_ola = True
+                    via_pallas = decode_file_batch(ext)
+                    VorbisConfig.default.use_pallas_ola = False
+                    via_gather = decode_file_batch(ext)
+                    pallas_check = max(
+                        pallas_check,
+                        float(np.abs(via_pallas - via_gather).max()),
+                    )
+                RESULTS["pallas_vs_gather_max_err"] = pallas_check
+            finally:
+                VorbisConfig.default.use_pallas_ola = saved
+        except Exception as e:  # pragma: no cover
+            _mark(f"pallas section failed: {e!r}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_rtf_corpus",
-                "value": round(rtf_s16, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf_s16 / 1000.0, 4),
-                "rtf_device_resident": round(rtf_dev, 2),
-                "rtf_single_file": round(rtf_single, 2),
-                "rtf_device_exec_only": round(rtf_exec, 2),
-                "rtf_multichannel_5_1": round(rtf51, 2),
-                "chained_seek_ms": round(seek_ms, 2),
-                "stages_s": stages,
-                "h2d_mb": round(h2d_mb, 1),
-                "d2h_mb": round(d2h_mb, 1),
-                "tunnel_h2d_mbps": round(h2d_rate / 1e6, 1),
-                "tunnel_d2h_mbps": round(d2h_rate / 1e6, 1),
-                "tunnel_ceiling_rtf": round(ceiling_rtf, 1),
-                "fraction_of_ceiling": round(fraction, 3),
-                "pallas_vs_gather_max_err": pallas_check,
-                "max_abs_err_vs_anchor": max_err,
-                "s16_err_5_1_lsb": err51,
-                "corpus_streams": n_streams,
-                "corpus_audio_seconds": round(total_audio, 1),
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    # ---- late tunnel re-measure (token bucket may have drained/refilled) --------
+    if not _over_budget():
+        _mark("tunnel re-measurement")
+        try:
+            h2d2, d2h2 = measure_tunnel(jax, jnp)
+            h2d_rate = max(h2d_rate, h2d2)
+            d2h_rate = max(d2h_rate, d2h2)
+            RESULTS["tunnel_h2d_mbps"] = round(h2d_rate / 1e6, 1)
+            RESULTS["tunnel_d2h_mbps"] = round(d2h_rate / 1e6, 1)
+            h2d_mb, d2h_mb = RESULTS["h2d_mb"], RESULTS["d2h_mb"]
+            if h2d_mb > 0:
+                transfer_s = h2d_mb * 1e6 / h2d_rate + d2h_mb * 1e6 / d2h_rate
+                ceiling = total_audio / transfer_s
+                RESULTS["tunnel_ceiling_rtf"] = round(ceiling, 1)
+                RESULTS["fraction_of_ceiling"] = round(rtf_s16 / ceiling, 3)
+        except Exception as e:  # pragma: no cover
+            _mark(f"tunnel re-measure failed: {e!r}")
+
+    _emit_json()
     assert max_err <= 1e-6, f"accuracy budget exceeded: {max_err}"
+    err51 = RESULTS["s16_err_5_1_lsb"]
     assert err51 <= 1, f"5.1 s16 error: {err51}"  # 0 when section skipped
+    pc = RESULTS["pallas_vs_gather_max_err"]
+    assert pc <= 0.0, f"Pallas OLA != gather OLA: {pc}"  # -1 when skipped
 
 
 if __name__ == "__main__":

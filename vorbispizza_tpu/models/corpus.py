@@ -332,15 +332,16 @@ def decode_corpus(
                     # Pulls are SERIALIZED across collector workers: the
                     # link is one pipe, and concurrent transfers thrash it
                     # — one full-bandwidth pull at a time while other
-                    # workers unpack.
+                    # workers unpack. (pulled_bytes increments ride the
+                    # same lock: up to 3 collector threads run finish().)
                     nb, wtab, data = pull_wire(buf, nbt, page0)
-                pulled_bytes[0] += nb + nbt + 4
+                    pulled_bytes[0] += nb + nbt + 4
                 C = nbt // (-(-out_len // 128))  # nbt = C * ceil(L/128)
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
             with _pull_lock:
                 host = np.asarray(arr)
-            pulled_bytes[0] += host.nbytes
+                pulled_bytes[0] += host.nbytes
             if host.ndim == 3:
                 # byte planes [2, C, L] u8 -> int16, losslessly
                 pcm = ((host[1].astype(np.int32) << 8) | host[0]) - 32768
@@ -348,7 +349,7 @@ def decode_corpus(
             return host
         with _pull_lock:
             pcm = np.array(arr, dtype=np.float32)
-        pulled_bytes[0] += pcm.nbytes
+            pulled_bytes[0] += pcm.nbytes
         if clip_samples:
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
         return pcm
@@ -460,18 +461,22 @@ def decode_corpus(
             dispatch(sorted(idxs), fronts_by_idx)
 
     with t.stage("collect"):
-        for chunk, pcm_lengths, merged_out, fut in pending:
-            if output == "device":
-                c = 0
-                for i, ln in zip(chunk, pcm_lengths):
-                    outs[i] = merged_out[:, c : c + ln]
-                    c += ln
-            else:
-                host = fut.result()
-                c = 0
-                for i, ln in zip(chunk, pcm_lengths):
-                    outs[i] = host[:, c : c + ln]
-                    c += ln
-        collect_pool.shutdown(wait=True)
+        try:
+            for chunk, pcm_lengths, merged_out, fut in pending:
+                if output == "device":
+                    c = 0
+                    for i, ln in zip(chunk, pcm_lengths):
+                        outs[i] = merged_out[:, c : c + ln]
+                        c += ln
+                else:
+                    host = fut.result()
+                    c = 0
+                    for i, ln in zip(chunk, pcm_lengths):
+                        outs[i] = host[:, c : c + ln]
+                        c += ln
+        finally:
+            # a fut.result() exception must not leak the pool (in-flight
+            # pulls would keep running after decode_corpus raises)
+            collect_pool.shutdown(wait=True)
         t.count("d2h_bytes", pulled_bytes[0])
     return outs

@@ -217,6 +217,13 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
         page0 = start_page0(dev)
     h = np.asarray(page0)
     first = h.shape[0]
+    if first < 4 + nbt:
+        # the header + width table must ride the first page; a chunk-size
+        # change that overflows it must fail loudly, not corrupt the PCM
+        raise ValueError(
+            f"dpack header ({4 + nbt} B) exceeds the first wire page "
+            f"({first} B); raise _PAGE_BIG or shrink the chunk"
+        )
     nb = int(h[:4].view(np.int32)[0])
     widx = h[4 : 4 + nbt]
     data = np.empty(nb, dtype=np.uint8)
