@@ -77,3 +77,70 @@ def test_sharded_step_matches_unsharded(n_devices):
     assert np.asarray(pcm).shape == ref.shape
     np.testing.assert_allclose(np.asarray(pcm), ref, atol=2e-6)
     assert bool(has_clipped) == bool(np.any(np.abs(ref) >= 0.99999994))
+
+
+# --- production pipeline (models/pipeline.py) under shard_map -----------
+
+
+@pytest.fixture(scope="module")
+def prod_corpus():
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    return [
+        encode_vorbis(make_signal(2, 0.4, kind="music", seed=s), quality=0.3)
+        for s in range(5)
+    ]
+
+
+@pytest.mark.parametrize("output", ["s16", "f32"])
+def test_sharded_corpus_matches_single_device(prod_corpus, output):
+    """decode_corpus_sharded (symbol residues, trims, dpack wire, event OLA
+    under shard_map over a 1-D stream mesh) == single-device decode_corpus,
+    bit exact."""
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(np.array(devs[:4]), axis_names=("stream",))
+    sharded = decode_corpus_sharded(prod_corpus, mesh, output=output)
+    single = decode_corpus(prod_corpus, output=output)
+    assert len(sharded) == len(single)
+    for a, b in zip(sharded, single):
+        assert a.shape == b.shape
+        assert a.dtype == b.dtype
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_corpus_more_streams_than_devices(prod_corpus):
+    """Streams partition over the mesh (LPT balance); empty shards legal."""
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(np.array(devs[:8]), axis_names=("stream",))
+    sharded = decode_corpus_sharded(prod_corpus, mesh, output="s16")
+    single = decode_corpus(prod_corpus, output="s16")
+    for a, b in zip(sharded, single):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partition_indices_balance():
+    from vorbispizza_tpu.parallel.corpus import partition_indices
+
+    parts = partition_indices([10, 1, 1, 1, 1, 1, 5, 5], 4)
+    assert sorted(i for p in parts for i in p) == list(range(8))
+    loads = sorted(
+        sum([10, 1, 1, 1, 1, 1, 5, 5][i] for i in p) for p in parts
+    )
+    assert loads[-1] <= 10  # LPT: the 10-cost stream sits alone
+    # fewer items than shards -> empty shards, all indices covered
+    parts2 = partition_indices([3, 2], 4)
+    assert sorted(i for p in parts2 for i in p) == [0, 1]

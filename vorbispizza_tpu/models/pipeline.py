@@ -548,6 +548,15 @@ class BatchSynthesizer:
         cached = self._fns.get(("fused", sig))
         if cached is not None:
             return cached
+        jitted = jax.jit(self._fused_body(sig))
+        self._fns[("fused", sig)] = jitted
+        return jitted
+
+    def _fused_body(self, sig):
+        """The raw (untraced) fused function for ``sig`` — the same body
+        _fused_fn jits; parallel/corpus.py wraps it in shard_map so the
+        PRODUCTION pipeline (symbol residues, mixed blocksizes, trims,
+        dpack) runs SPMD over a stream-sharded mesh."""
         statics = list(sig[0])  # tuple of (key, metas)
         padded_n = list(sig[1])
         segments = sig[2]  # tuple of (start, length); None => uniform arange
@@ -720,9 +729,7 @@ class BatchSynthesizer:
                     pcm = q.astype(jnp.int16)
             return pcm
 
-        jitted = jax.jit(fused)
-        self._fns[("fused", sig)] = jitted
-        return jitted
+        return fused
 
     def prepare(
         self,
@@ -731,12 +738,30 @@ class BatchSynthesizer:
         output: str = "f32",
         device=None,
     ):
-        """Host half of a decode: pack every tensor into 3 flat transfer
+        """Host half of a decode: pack every tensor into 4 flat transfer
         buffers, start the (async) host->device copies, and return
         ``(sig, device_args, total)`` for run().
 
         Safe to call from worker threads — transfers overlap other streams'
         device execution."""
+        sig, host_args, total = self.prepare_host(plan, buckets, output)
+        device_args = tuple(jax.device_put(x, device) for x in host_args)
+        return sig, device_args, total
+
+    def prepare_host(
+        self,
+        plan: FramePlan,
+        buckets: list[BucketBatch],
+        output: str = "f32",
+        pads: dict | None = None,
+    ):
+        """prepare() minus the device placement: returns (sig, host numpy
+        arrays, total). ``pads`` (from sig_pads/merge_pads) forces padded
+        dimensions and wire dtypes UP to cross-shard maxima so independent
+        shards of one corpus produce the SAME sig — the precondition for
+        running them as one shard_map program. Passing any ``pads`` (even
+        {}) also forces the event-based OLA path (per-hop-class Pallas
+        signatures cannot be unified across shards)."""
         PG = self.PACK_GRAN
         metas_per = [self._group_meta(b)[0] for b in buckets]
         # Residue wire format per bucket:
@@ -753,11 +778,14 @@ class BatchSynthesizer:
         for b in buckets:
             F = len(b.frame_indices)
             Fp = _pad_size(max(F, 1))
+            if pads:
+                Fp = max(Fp, pads.get(("Fp", b.key), 0))
             if b.sym is not None:
                 st = self._sym_static(b.key)
                 sub_sigs = []
                 cls_packed = []
                 syms_packed = []
+                g_seq = 0  # ordinal over (submap, pass, group) enumeration
                 for si, sub in enumerate(st["subs"]):
                     if sub["sig"] is None:
                         sub_sigs.append(None)
@@ -778,6 +806,12 @@ class BatchSynthesizer:
                                 )
                             np_ = stream.size // g.nsym
                             np_pad = _pad_size(max(np_, 1), 16)
+                            if pads:
+                                np_pad = max(
+                                    np_pad,
+                                    pads.get(("np", b.key, g_seq), 0),
+                                )
+                            g_seq += 1
                             w = max(int(g.entries).bit_length(), 1)
                             padded = np.full(
                                 np_pad * g.nsym, g.entries, dtype=np.uint32
@@ -822,8 +856,17 @@ class BatchSynthesizer:
             # per PG-column block); 16-bit indices suffice until a merged
             # chunk carries >64Ki nonzero blocks in one bucket
             gtag = "u16" if K <= self.GMAP_U16_MAX else "i32"
+            Kp = _pad_size(K + 1)
+            if pads:
+                Kp = max(Kp, pads.get(("Kp", b.key), 0))
+                order = {"u8b": 0, "i16": 1, "f32": 2}
+                pt = pads.get(("ptag", b.key), "u8b")
+                if order[pt] > order[ptag]:
+                    ptag = pt
+                if pads.get(("gtag", b.key)) == "i32":
+                    gtag = "i32"
             packs.append(("val", gmap, rows, K, ptag))
-            padded_n.append((Fp, b.n, _pad_size(K + 1), ptag, gtag))
+            padded_n.append((Fp, b.n, Kp, ptag, gtag))
         statics = tuple(
             (b.key, metas) for b, metas in zip(buckets, metas_per)
         )
@@ -883,7 +926,7 @@ class BatchSynthesizer:
 
         total = plan.pcm_length
         hops = None
-        if self.use_pallas_ola:
+        if self.use_pallas_ola and pads is None:
             flat_base = self._flat_base(plan, buckets, padded_n)
             hops = self._build_hops(plan, flat_base)
         host_args = [f32, i32, i16, u8]
@@ -913,6 +956,8 @@ class BatchSynthesizer:
         else:
             offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
             out_len = _pad_size(max(total, 1), 65536)
+            if pads:
+                out_len = max(out_len, pads.get("out_len", 0))
             evs = self._build_events(
                 offs, ends, fbase_off, plan.segments, total
             )
@@ -920,6 +965,8 @@ class BatchSynthesizer:
             # j=out_len, which mode="drop" discards
             E = len(evs[0])
             Ep = _pad_size(E, 64)
+            if pads:
+                Ep = max(Ep, pads.get("Ep", 0))
             for i_, a_ in enumerate(evs):
                 pad_arr = np.full(
                     Ep, out_len if i_ == 0 else 0, dtype=np.int32
@@ -936,8 +983,7 @@ class BatchSynthesizer:
             F_tab,
             output,
         )
-        device_args = tuple(jax.device_put(x, device) for x in host_args)
-        return sig, device_args, total
+        return sig, host_args, total
 
     def run(self, sig, device_args, total):
         fn = self._fused_fn(sig)
@@ -975,6 +1021,52 @@ class BatchSynthesizer:
             dt = jnp.int16 if output == "s16" else jnp.float32
             return jnp.zeros((self.channels, 0), dtype=dt)
         return self.run(*self.prepare(plan, buckets, output, device=device))
+
+
+_PTAG_ORDER = {"u8b": 0, "i16": 1, "f32": 2}
+
+
+def sig_pads(sig) -> dict:
+    """Extract the padded dimensions / wire dtypes of one prepare_host sig
+    as a pads dict (the hint format prepare_host consumes)."""
+    pads: dict = {}
+    statics, padded_n, seg_sig, out_len = sig[0], sig[1], sig[2], sig[3]
+    for (key, _metas), pn in zip(statics, padded_n):
+        pads[("Fp", key)] = pn[0]
+        if pn[2] == "sym":
+            g_seq = 0
+            for ss in pn[3]:
+                if ss is None:
+                    continue
+                for (_p, _col, groups) in ss[8]:
+                    for (_w, _d, _nsym, _fmt1, np_pad) in groups:
+                        pads[("np", key, g_seq)] = np_pad
+                        g_seq += 1
+        else:
+            pads[("Kp", key)] = pn[2]
+            pads[("ptag", key)] = pn[3]
+            if pn[4] == "i32":
+                pads[("gtag", key)] = "i32"
+    if seg_sig and seg_sig[0] == "ev":
+        pads["Ep"] = seg_sig[1]
+    pads["out_len"] = out_len
+    return pads
+
+
+def merge_pads(sigs) -> dict:
+    """Elementwise maximum of each sig's pads: preparing every shard with
+    the merged pads yields identical sigs whenever the shards share a setup
+    and bucket-key list (parallel/corpus.py's shard_map precondition)."""
+    out: dict = {}
+    for sig in sigs:
+        for k, v in sig_pads(sig).items():
+            if isinstance(v, str):
+                cur = out.get(k)
+                if cur is None or _PTAG_ORDER.get(v, 9) > _PTAG_ORDER.get(cur, -1):
+                    out[k] = v
+            else:
+                out[k] = max(out.get(k, 0), v)
+    return out
 
 
 class _FrozenMeta(tuple):
