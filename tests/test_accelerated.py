@@ -73,3 +73,24 @@ def test_accelerated_seek_gap_stream_matches_scalar(testfiles):
         assert got.shape == want.shape, pos
         assert np.abs(got - want).max() <= 2e-6, pos
         assert a.sample_position == r.sample_position, pos
+
+
+def test_accelerated_stats_exact_audio_bits(testfile1):
+    """Accelerated and scalar paths agree EXACTLY on audio/waste bit
+    accounting: the C++ front end records bits consumed per packet
+    (frontend.cpp meta[4]), matching the scalar BitReader's bits_read
+    (reference StreamStats.cs:94-122 definition)."""
+    from vorbispizza_tpu import native
+
+    if not native.available():
+        pytest.skip("native front end unavailable")
+    a = VorbisReader(str(testfile1), accelerated=True)
+    a.initialize()
+    a.read_all()
+    s = VorbisReader(str(testfile1))
+    s.initialize()
+    s.read_all()
+    assert a.stats.audio_bits == s.stats.audio_bits
+    assert a.stats.waste_bits == s.stats.waste_bits
+    assert a.stats.container_bits == s.stats.container_bits
+    assert a.stats.packet_count == s.stats.packet_count

@@ -135,3 +135,56 @@ def test_pagecraft_seek_parity(base_stream):
             got = a.read_samples(512, planar=True)
             assert got.shape == want.shape
             assert np.abs(got - want).max() <= 2e-6, (make.__name__, pos)
+
+
+def test_zero_length_packets(base_stream, tmp_path):
+    """Empty packets (lacing value 0) mid-stream decode transparently —
+    no samples emitted, no desync, overlap state preserved (reference
+    StreamDecoder ReadNextPacket records a failed decode and continues).
+
+    The oracle is NOT authoritative here: libvorbisfile treats the failed
+    packet as a hole and re-derives its PCM offset from page granules,
+    shifting/dropping ~1.8k samples (measured). The spec-correct output is
+    bit-identical to the unmodified stream, which is what we assert."""
+    from vorbispizza_tpu.testing.pagecraft import make_zero_length_packets
+
+    data = make_zero_length_packets(base_stream)
+    assert _count_packets(data) > _count_packets(base_stream)
+    want = ours(base_stream)
+    got = ours(data)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    acc = ours(data, accelerated=True)
+    assert acc.shape == want.shape
+    assert np.abs(acc - got).max() <= 2e-6
+    # the oracle must still decode it (no crash / error)
+    nat = oracle(data, tmp_path, "zero-length.ogg")
+    assert nat.shape[0] == want.shape[0]
+
+
+def test_serial_reuse_chain(base_stream):
+    """Second chain reuses the first chain's retired serial (reference
+    Ogg/PageReader.cs:77-87): EOS retires the serial, the later BOS claims
+    it again as a NEW logical stream; both chains must decode bit-exactly.
+
+    libvorbisfile cannot be the oracle for this shape: its chain bisection
+    keys on serial-number CHANGES, so a reused serial hides the second link
+    and its hole-recovery emits untrimmed tails (measured 2x53208 vs the
+    correct 2x52920) — the very defect the reference's serial retirement
+    exists to avoid."""
+    from vorbispizza_tpu.testing.pagecraft import make_serial_reuse_chain
+
+    data = make_serial_reuse_chain(base_stream)
+    for accelerated in (False, True):
+        want = ours(base_stream, accelerated=accelerated)
+        r = VorbisReader(data, accelerated=accelerated)
+        r.initialize()
+        parts = [r.read_all(planar=True)]
+        while r.find_next_stream():
+            r.switch_streams(r.streams_count - 1)
+            parts.append(r.read_all(planar=True))
+        assert r.streams_count == 2, accelerated
+        assert all(p.shape == want.shape for p in parts), accelerated
+        tol = 0.0 if not accelerated else 2e-6
+        for p in parts:
+            assert np.abs(p - want).max() <= tol, accelerated

@@ -59,14 +59,23 @@ class AcceleratedStreamDecoder:
                 )
                 synth = BatchSynthesizer(self._dec._setup, self._dec.channels)
                 self._pcm = np.asarray(synth.assemble(plan, buckets))
-                for fr in plan.frames:
+                for i, fr in enumerate(plan.frames):
+                    if plan.audio_bits is not None:
+                        # exact bits consumed, recorded by the C++ front
+                        # end (frontend.cpp decode_one meta[4]) — matches
+                        # the scalar decoder's BitReader accounting
+                        # (reference StreamStats.cs:94-122)
+                        ab = int(plan.audio_bits[i])
+                        wb = 8 * len(fr.packet.data) - ab
+                    else:
+                        # Python extract path doesn't track bits-read;
+                        # whole-packet bits approximate audio
+                        ab = 8 * len(fr.packet.data)
+                        wb = 0
                     self._dec.stats.add_packet(
                         samples=fr.info.sample_count,
-                        # batch path decodes off-host, so bits-read is not
-                        # tracked per packet; whole-packet bits approximate
-                        # audio (waste folds in), container is exact
-                        audio_bits=8 * len(fr.packet.data),
-                        waste_bits=0,
+                        audio_bits=ab,
+                        waste_bits=wb,
                         container_bits=fr.packet.container_bits,
                     )
             except (BatchUnsupported, OlaUnsupported):

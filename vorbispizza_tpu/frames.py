@@ -107,6 +107,11 @@ class FramePlan:
     scan: tuple | None = None
     # preset struct-of-arrays (merged plans); lazily built otherwise
     soa_cache: FrameSoA | None = None
+    # exact per-frame audio bits consumed (set by the native extract path;
+    # None when only the Python path ran). Feeds StreamStats with the
+    # reference's exact definition (StreamStats.cs:94-122) instead of the
+    # whole-packet-bytes approximation.
+    audio_bits: np.ndarray | None = None
 
     def soa(self) -> FrameSoA:
         if self.soa_cache is None:
@@ -728,6 +733,7 @@ def _extract_batch_native(
             raise RuntimeError(
                 f"native front end disagrees with plan at frame {i}"
             )
+    plan.audio_bits = meta[:, 4].astype(np.int64)
 
     out: list[BucketBatch] = []
     for key, indices in plan.buckets.items():

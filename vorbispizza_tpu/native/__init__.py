@@ -228,7 +228,8 @@ def decode_packet_spans(
     (u8 array — e.g. the Ogg scan's blob, handed straight through with no
     re-join or per-packet copies) -> dense tensors.
 
-    Returns dict with: meta [P,4] i32 (ok, mode_idx, prev, next),
+    Returns dict with: meta [P,5] i32 (ok, mode_idx, prev, next,
+    audio bits consumed — exact StreamStats accounting),
     residues [P,C,max_half] f32 (pre-coupling), posts [P,C,65] i32,
     step2 [P,C,65] u8, used [P,C] u8, f0_coeffs [P,C,max_order] f32,
     f0_amp [P,C] i32."""
@@ -239,7 +240,7 @@ def decode_packet_spans(
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
 
-    meta = np.zeros((P, 4), dtype=np.int32)
+    meta = np.zeros((P, 5), dtype=np.int32)
     # residues[:, :, :half] is fully written by the decoder for every audio
     # packet; the tail past each packet's half-blocksize is never read
     residues = np.empty((P, channels, max_half), dtype=np.float32)
@@ -328,7 +329,7 @@ def decode_packet_spans_sym(
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
 
-    meta = np.zeros((P, 4), dtype=np.int32)
+    meta = np.zeros((P, 5), dtype=np.int32)
     posts = np.zeros((P, channels, 65), dtype=np.int32)
     step2 = np.zeros((P, channels, 65), dtype=np.uint8)
     used = np.zeros((P, channels), dtype=np.uint8)

@@ -633,8 +633,10 @@ struct Scratch {
 void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
                 const Outputs& o, Scratch& sc, const SymOut* so = nullptr,
                 SymScratch* sy = nullptr) {
-    int32_t* meta = o.meta + pkt * 4;
+    int32_t* meta = o.meta + pkt * 5;
     meta[0] = 0;
+    meta[4] = 0;  // audio bits consumed (reference StreamStats.cs:94-122:
+                  // audio = bits actually read; trailing unread bits = waste)
     if (len <= 0) return;
     BitReader br(data, len);
     if (br.read(1)) return;  // not an audio packet
@@ -738,6 +740,7 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
         }
         int32_t* pc = so->pair_counts + pkt * so->n_sp;
         for (int64_t k = 0; k < so->n_sp; k++) pc[k] = sy->pairs[(size_t)k];
+        meta[4] = (int32_t)br.pos;
         return;
     }
 
@@ -790,6 +793,7 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
         float* dst = res_out + (size_t)c * s.max_half;
         for (int64_t i = 0; i < half; i++) dst[i] = (float)src[i];
     }
+    meta[4] = (int32_t)br.pos;
 }
 
 }  // namespace

@@ -221,3 +221,40 @@ def make_bad_continued_flag(data: bytes, at_seq: int = 2) -> bytes:
         return granule, flags
 
     return _reframe(data, body_cap=1000, page_hooks=(hook,))
+
+
+def make_zero_length_packets(data: bytes, every: int = 4) -> bytes:
+    """Zero-length packets interleaved mid-stream: a lacing value of 0 is a
+    legal empty packet (Ogg spec §4; lewton/libnogg zero-packet analogs).
+    Decoders must count them as undecodable packets and emit no samples
+    (reference StreamDecoder ReadNextPacket:650 records a failed decode)."""
+    headers, audio, serial = extract_packets(data)
+    fr = _Framer(serial)
+    fr.add_packets(headers[:1], first_flags=0x02)
+    fr.add_packets(headers[1:])
+    mixed = []
+    for i, (d, g) in enumerate(audio):
+        mixed.append((d, g))
+        if i % every == every - 1:
+            # empty packet carries the preceding packet's granule so page
+            # granule bookkeeping stays monotone
+            mixed.append((b"", g))
+    fr.add_packets(mixed, body_cap=1000)
+    return fr.finish()
+
+
+def make_serial_reuse_chain(data: bytes) -> bytes:
+    """Chained file whose second chain REUSES the first chain's serial
+    number — legal: EOS retires a serial, a later BOS may claim it again
+    (reference Ogg/PageReader.cs:77-87 retires EOS serials;
+    OggTests.cs:9-92 chained cases). Sequence numbers restart at 0."""
+    headers, audio, serial = extract_packets(data)
+
+    def one_chain() -> bytes:
+        fr = _Framer(serial)
+        fr.add_packets(headers[:1], first_flags=0x02)
+        fr.add_packets(headers[1:])
+        fr.add_packets(audio, body_cap=2000)
+        return fr.finish()
+
+    return one_chain() + one_chain()

@@ -1,0 +1,135 @@
+"""On-chip stage ablation of the fused decode program.
+
+Times the full fused s16d program on a merged corpus chunk, then re-times
+variants with one stage each snapped out (pack, quantize, OLA assembly,
+synthesis math, symbol residue expansion) by monkeypatching the module
+functions the traced body closes over. Differences against the baseline
+attribute the exec-only budget per stage — the measurement VERDICT r2
+asked for (exec-only 385x -> where does the rest go).
+
+Each variant is its own XLA program (first run compiles; over the attached
+tunnel a fused compile can take minutes cold — /tmp/jax_cache persists
+them). Timings end in a real 4-byte device->host pull: block_until_ready
+is unreliable over the tunnel (PERF_NOTES.md).
+
+Usage: python -m vorbispizza_tpu.tools.ablate [n_files] [secs_per_file]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _patched(monkey: dict):
+    """Context manager: temporarily replace attributes given as
+    {(obj, name): replacement}."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        saved = {}
+        for (obj, name), repl in monkey.items():
+            saved[(obj, name)] = getattr(obj, name)
+            setattr(obj, name, repl)
+        try:
+            yield
+        finally:
+            for (obj, name), orig in saved.items():
+                setattr(obj, name, orig)
+
+    return cm()
+
+
+def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
+    from ..models import pipeline as pl
+    from ..models.corpus import _front_end, merge_streams
+    from ..models.pipeline import BatchSynthesizer
+    from ..testing.encode import encode_vorbis, make_signal
+
+    rate = 44100
+    corpus = [
+        encode_vorbis(
+            make_signal(2, secs, rate=rate, kind="music", seed=s),
+            rate=rate,
+            quality=0.4,
+        )
+        for s in range(n_files)
+    ]
+    fronts = [_front_end(c) for c in corpus]
+    setup, channels = fronts[0][0], fronts[0][1]
+    plan, buckets, lens = merge_streams([f[2:4] for f in fronts])
+    audio_s = sum(lens) / rate
+
+    def slice_ola(flat, a_idx, a_valid, b_idx, b_valid):
+        # stand-in with the right shape; a_idx & friends go dead and XLA
+        # DCEs the whole event scatter+cumsum index expansion with them
+        return jax.lax.slice_in_dim(flat, 0, a_idx.shape[0], axis=1)
+
+    def flat_synth(self, key, residues, prime, final, floor_inputs, metas):
+        return jnp.concatenate([residues, residues], axis=-1)
+
+    orig_expand = pl.expand_submap
+
+    def zero_expand(*a, **k):
+        # zeros_like uses only the static shape: the original expansion's
+        # value goes dead and XLA DCEs the whole symbol decode
+        return jnp.zeros_like(orig_expand(*a, **k))
+
+    variants = [
+        ("full_s16d", "s16d", {}),
+        ("no_pack(s16)", "s16", {}),
+        ("no_quant(f32)", "f32", {}),
+        ("no_ola", "s16d", {(pl, "gather_assemble"): slice_ola}),
+        ("no_synth_math", "s16d", {(BatchSynthesizer, "_synth_math"): flat_synth}),
+        ("no_res_expand", "s16d", {(pl, "expand_submap"): zero_expand}),
+        (
+            "takes_only",
+            "s16",
+            {
+                (pl, "gather_assemble"): slice_ola,
+                (BatchSynthesizer, "_synth_math"): flat_synth,
+                (pl, "expand_submap"): zero_expand,
+            },
+        ),
+    ]
+
+    results = {}
+    base = None
+    for name, output, monkey in variants:
+        synth = BatchSynthesizer(setup, channels, use_pallas_ola=False)
+        with _patched(monkey):
+            t_c0 = time.perf_counter()
+            sig, args, total = synth.prepare(plan, buckets, output)
+            out = synth.run(sig, args, total)
+            probe = out[1] if isinstance(out, tuple) else out
+            np.asarray(probe.ravel()[:4])  # warm + drain
+            compile_s = time.perf_counter() - t_c0
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = synth.run(sig, args, total)
+            probe = out[1] if isinstance(out, tuple) else out
+            np.asarray(probe.ravel()[:4])
+            per = (time.perf_counter() - t0) / reps
+        results[name] = per
+        if base is None:
+            base = per
+        delta = base - per
+        print(
+            f"{name:16s} {per * 1e3:9.1f} ms/chunk  rtf {audio_s / per:8.1f}"
+            f"  delta_vs_full {delta * 1e3:8.1f} ms  (compile+warm {compile_s:.1f}s)",
+            flush=True,
+        )
+    print(f"audio per chunk: {audio_s:.1f}s; reps={reps}")
+    return results
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+    run_ablation(n, s)
