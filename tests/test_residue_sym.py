@@ -202,6 +202,46 @@ def test_corpus_merged_symbols_vs_values():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("channels,quality", [(2, 0.5), (6, 0.4)])
+def test_cpp_slot_stream_matches_spec(channels, quality):
+    """The C++-recorded scatter slot ids (SymOut.slots) equal the spec
+    derivation from classifications + pair counts (applied_slots) for
+    every packet and group — including truncated packets."""
+    data = encode_vorbis(
+        make_signal(channels, 1.0, kind="music", seed=channels), quality=quality
+    )
+    ident, setup, plan = _front(data)
+    sblob, sstarts, sends = plan.scan
+    # truncate some packets to exercise the EOP prefix path too
+    rng = np.random.default_rng(1)
+    ends2 = sends.copy()
+    for i in range(2, len(ends2), 5):
+        ln = ends2[i] - sstarts[i]
+        if ln > 16:
+            ends2[i] = sstarts[i] + int(rng.integers(8, ln))
+    C = ident.channels
+    sb = serialize_setup(setup, ident)
+    lay = S.symbol_layout(setup, ident)
+    assert lay is not None
+    sym = native.decode_packet_spans_sym(sb, sblob, sstarts, ends2, C, 0, lay)
+    for i in range(len(sstarts)):
+        if sym["meta"][i, 0] != 1:
+            continue
+        mode_idx = int(sym["meta"][i, 1])
+        groups = lay.groups_per_mapping[setup.modes[mode_idx].mapping_idx]
+        want = S.applied_slots(
+            setup, mode_idx, C, sym["cls"][i], sym["pair_counts"][i],
+            groups=groups,
+        )
+        cnt = sym["sym_counts"][i]
+        pos = 0
+        for gi, g in enumerate(groups):
+            n_parts = int(cnt[gi]) // g.nsym
+            got = sym["slots"][i][pos : pos + n_parts]
+            pos += n_parts
+            assert np.array_equal(got, want[gi]), (i, gi)
+
+
 def test_wire_size_shrinks():
     """The point of the feature: symbol wire < value wire on typical audio."""
     from vorbispizza_tpu.frames import extract_batch

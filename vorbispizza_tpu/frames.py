@@ -566,19 +566,20 @@ class FloorGroup:
 @dataclass
 class SymBucket:
     """Symbol-transport residue payload for one bucket (native/symbols.py
-    wire contract). ``cls`` rows are already in TRAVERSAL order
-    (partition-major, vector-minor) per submap; ``syms[g]`` is group g's
-    entry stream for this bucket's frames, concatenated in frame order.
+    wire contract). ``syms[g]`` is group g's entry stream for this bucket's
+    frames, concatenated in frame order; ``slots[g]`` is the parallel
+    per-APPLIED-partition stream of traversal slot ids
+    (pv = partition_index * V + vector_row, frame-local — the region row
+    each partition's values land in), one entry per nsym symbols. The
+    device scatters partition rows straight to region rows, so no
+    classifications or pair counts ride the wire at all.
     Merges by concatenation along the frame axis (models/corpus.py)."""
 
     layout: object  # SymLayout (shared per setup)
     groups: list  # list[SymGroup] for this bucket's mapping
-    # per submap: cls in traversal order [F, Pt*V] u8 (value ncls = no
-    # vector / sentinel) and the (V, Pt) geometry
-    cls: list  # list of np.ndarray [F, Pt*V] u8
-    cls_bits: list  # per submap: wire bit width of one cls value
-    pairs: np.ndarray  # [F, n_sp] i32 applied-pair counts
     syms: list  # per group (global id): np.ndarray u16 (possibly empty)
+    slots: list  # per group: np.ndarray u16 [syms[g].size // nsym_g]
+    part_counts: np.ndarray  # [F, n_groups] i32 applied partitions
 
 
 @dataclass
@@ -610,12 +611,11 @@ class BucketBatch:
         if self.residues is not None:
             return self.residues.nbytes
         s = self.sym
-        total = s.pairs.shape[0] * 4  # applied-pair counts (few columns)
-        for arr, wc in zip(s.cls, s.cls_bits):
-            total += (arr.size * wc + 7) // 8
-        for g, arr in zip(s.groups, s.syms):
+        total = 0
+        for g, arr, sl in zip(s.groups, s.syms, s.slots):
             w = max(int(g.entries).bit_length(), 1)
             total += (arr.size * w + 7) // 8
+            total += sl.size * 2  # scatter slot ids (~w_i<=16 bits packed)
         return total
 
 
@@ -723,6 +723,7 @@ def _extract_batch_native(
         goff = np.zeros_like(counts)
         np.cumsum(counts[:, :-1], axis=1, out=goff[:, 1:])
         syms_flat = dec["syms"].reshape(-1)
+        slots_flat = dec["slots"].reshape(-1)
     else:
         dec = native.decode_packet_spans(
             blob, sblob, sstarts, sends, channels, max_half, max_order
@@ -746,35 +747,36 @@ def _extract_batch_native(
         residues = None
         sym = None
         if sym_layout is not None:
-            from .native.symbols import _vec_shape
-
             groups_m = sym_layout.groups_per_mapping[mode.mapping_idx]
             sym_cap = sym_layout.sym_cap
+            G = len(groups_m)
+            cnt = counts[idx, :G]
+            nsyms = np.asarray([g.nsym for g in groups_m], dtype=np.int64)
+            if np.any(cnt % nsyms[None, :]):
+                raise RuntimeError("symbol stream not partition-aligned")
+            pc = (cnt // nsyms[None, :]).astype(np.int32)  # [F, G]
+            # slot streams flush group-major with their own cursor
+            # (frontend.cpp): offsets are the per-packet exclusive cumsum
+            poff = np.zeros_like(pc)
+            np.cumsum(pc[:, :-1], axis=1, out=poff[:, 1:])
             streams = []
-            for gi in range(len(groups_m)):
+            slot_streams = []
+            for gi in range(G):
                 starts = idx * sym_cap + goff[idx, gi]
-                lens = counts[idx, gi].astype(np.int64)
+                lens = cnt[:, gi].astype(np.int64)
                 streams.append(_slice_gather(syms_flat, starts, lens))
-            cls_list = []
-            cls_bits = []
-            for sm in range(mapping.submaps):
-                r = mapping.submap_residue[sm]
-                ch_list = [c for c in range(channels) if mapping.mux[c] == sm]
-                V, _, _, Pt = _vec_shape(r, half, len(ch_list))
-                rows = ch_list[:1] if r.residue_type == 2 else ch_list
-                # traversal order (partition-major, vector-minor);
-                # 0xFF / out-of-range -> the ncls sentinel (no book)
-                arr = dec["cls"][idx][:, rows, :Pt].transpose(0, 2, 1)
-                arr = np.minimum(arr, r.classifications).reshape(len(idx), -1)
-                cls_list.append(np.ascontiguousarray(arr))
-                cls_bits.append(max(int(r.classifications).bit_length(), 1))
+                pstarts = idx * sym_cap + poff[:, gi].astype(np.int64)
+                slot_streams.append(
+                    _slice_gather(
+                        slots_flat, pstarts, pc[:, gi].astype(np.int64)
+                    )
+                )
             sym = SymBucket(
                 layout=sym_layout,
                 groups=groups_m,
-                cls=cls_list,
-                cls_bits=cls_bits,
-                pairs=np.ascontiguousarray(dec["pair_counts"][idx]),
                 syms=streams,
+                slots=slot_streams,
+                part_counts=pc,
             )
         else:
             residues = np.ascontiguousarray(dec["residues"][idx][:, :, :half])

@@ -175,21 +175,22 @@ def merge_streams(items):
         sym = None
         if first.sym is not None:
             # symbol payloads merge by frame-axis concatenation: per-group
-            # streams stay in frame order, so the device's global stream
-            # ranks (ops/residue_sym.py cumsums) keep matching the wire
+            # streams stay in frame order, so the scatter indices derived
+            # from part_counts + slots (ops/residue_sym.py) keep matching
             sym = SymBucket(
                 layout=first.sym.layout,
                 groups=first.sym.groups,
-                cls=[
-                    np.concatenate([p[0].sym.cls[si] for p in parts])
-                    for si in range(len(first.sym.cls))
-                ],
-                cls_bits=list(first.sym.cls_bits),
-                pairs=np.concatenate([p[0].sym.pairs for p in parts]),
                 syms=[
                     np.concatenate([p[0].sym.syms[gi] for p in parts])
                     for gi in range(len(first.sym.syms))
                 ],
+                slots=[
+                    np.concatenate([p[0].sym.slots[gi] for p in parts])
+                    for gi in range(len(first.sym.slots))
+                ],
+                part_counts=np.concatenate(
+                    [p[0].sym.part_counts for p in parts]
+                ),
             )
         out_buckets.append(
             BucketBatch(

@@ -366,9 +366,9 @@ class BatchSynthesizer:
 
     def _sym_static(self, key):
         """Structural description of symbol transport for one bucket key
-        (cached): per submap the region geometry, per-pass group lists,
-        class->local-slot tables and VQ value tables (zero row appended for
-        the end-of-packet sentinel). Submap/pass/group enumeration order
+        (cached): per submap the region geometry, the submap's groups in
+        wire order and their VQ value tables (zero row appended for the
+        end-of-packet sentinel). Submap/pass/group enumeration order
         matches native/symbols.py group_enumeration() and the extract's
         SymBucket arrays. ``None`` entries mark submaps with no channels or
         no coded region (their channels decode as zero residue)."""
@@ -383,9 +383,7 @@ class BatchSynthesizer:
         layout = setup._sym_layout
         groups_m = layout.groups_per_mapping[mode.mapping_idx]
         half = mode.n // 2
-        cb_index = {id(cb): i for i, cb in enumerate(setup.codebooks)}
         subs = []
-        col = 0
         for sm in range(mapping.submaps):
             r = mapping.submap_residue[sm]
             ch_list = [
@@ -394,55 +392,45 @@ class BatchSynthesizer:
             V, vec_len, limit_begin, Pt = _vec_shape(r, half, len(ch_list))
             if not ch_list or Pt == 0:
                 subs.append(
-                    {"sm": sm, "ch_list": ch_list, "sig": None, "passes": []}
+                    {"sm": sm, "ch_list": ch_list, "sig": None,
+                     "gis": [], "groups": [], "vqs": []}
                 )
                 continue
-            ncls = r.classifications
-            w_c = max(int(ncls).bit_length(), 1)  # values 0..ncls
-            passes = []
-            for p in range(8):
-                pg = [
-                    (gi, g)
-                    for gi, g in enumerate(groups_m)
-                    if g.submap == sm and g.gpass == p
-                ]
-                if not pg:
-                    continue
-                slot_tbl = np.full(ncls + 1, -1, dtype=np.int32)
-                by_book = {g.book_idx: li for li, (gi, g) in enumerate(pg)}
-                for cls in range(ncls):
-                    book = r.books[cls][p]
-                    if book is not None:
-                        slot_tbl[cls] = by_book[cb_index[id(book)]]
-                vqs = [
-                    np.concatenate(
-                        [
-                            np.asarray(
-                                setup.codebooks[g.book_idx].lookup_table,
-                                dtype=np.float32,
-                            ),
-                            np.zeros((1, g.dims), dtype=np.float32),
-                        ]
-                    )
-                    for gi, g in pg
-                ]
-                passes.append(
-                    {"p": p, "col": col, "pg": pg, "slot_tbl": slot_tbl,
-                     "vqs": vqs}
+            # wire order: groups of this submap across passes (pass-major,
+            # matching group_enumeration); the device only needs each
+            # group's VQ table — book selection / rank / pair counts are
+            # all baked into the host-precomputed scatter indices
+            gis = [
+                gi
+                for gi, g in enumerate(groups_m)
+                if g.submap == sm
+            ]
+            vqs = [
+                np.concatenate(
+                    [
+                        np.asarray(
+                            setup.codebooks[groups_m[gi].book_idx].lookup_table,
+                            dtype=np.float32,
+                        ),
+                        np.zeros((1, groups_m[gi].dims), dtype=np.float32),
+                    ]
                 )
-                col += 1
+                for gi in gis
+            ]
             subs.append(
                 {
                     "sm": sm,
                     "ch_list": ch_list,
                     "sig": (
                         V, Pt, r.partition_size, limit_begin, vec_len,
-                        r.residue_type == 2, ncls, w_c,
+                        r.residue_type == 2,
                     ),
-                    "passes": passes,
+                    "gis": gis,
+                    "groups": [groups_m[gi] for gi in gis],
+                    "vqs": vqs,
                 }
             )
-        res = {"subs": subs, "na": max(col, 1)}
+        res = {"subs": subs}
         self._fns[("symstatic", key)] = res
         return res
 
@@ -483,31 +471,32 @@ class BatchSynthesizer:
             Fp, n = pn[0], pn[1]
             half = n // 2
             if pn[2] == "sym":
-                # symbol transport: bit-packed cls per submap + bit-packed
-                # entry streams per (submap, pass, book) + applied-pair
-                # counts (ops/residue_sym.py)
-                sub_sigs, NA = pn[3], pn[4]
+                # symbol transport: bit-packed entry streams per
+                # (submap, pass, book) + parallel bit-packed scatter
+                # indices, one per applied partition (ops/residue_sym.py)
+                sub_sigs = pn[3]
                 e = {
-                    "npairs": slot("i32", (Fp, NA)),
-                    "cls": [],
                     "syms": [],
+                    "idx": [],
                     "groups": [],
                 }
                 for ss in sub_sigs:
                     if ss is None:
-                        e["cls"].append(None)
                         e["syms"].append([])
+                        e["idx"].append([])
                         continue
-                    V, Pt, psize, lb, vl, fmt2, ncls, w_c, passes = ss
-                    cbytes = (Fp * Pt * V * w_c + 7) // 8
-                    e["cls"].append(slot("u8", (cbytes,)))
+                    V, Pt, psize, lb, vl, fmt2, w_i, sgroups = ss
                     gs = []
-                    for (p, col, pgroups) in passes:
-                        for (w, d, nsym, fmt1, np_pad) in pgroups:
-                            gs.append(
-                                slot("u8", ((np_pad * nsym * w + 7) // 8,))
-                            )
+                    xs = []
+                    for (w, d, nsym, fmt1, np_pad) in sgroups:
+                        gs.append(
+                            slot("u8", ((np_pad * nsym * w + 7) // 8,))
+                        )
+                        xs.append(
+                            slot("u8", ((np_pad * w_i + 7) // 8,))
+                        )
                     e["syms"].append(gs)
+                    e["idx"].append(xs)
             else:
                 Kp, ptag, gtag = pn[2], pn[3], pn[4]
                 npart = half // PG
@@ -609,7 +598,6 @@ class BatchSynthesizer:
                     # (ops/residue_sym.py; wire contract native/symbols.py)
                     sub_sigs = pn[3]
                     rt = self._sym_static(key)
-                    npairs = take(e["npairs"])
                     parts_ch = []
                     ch_order = []
                     for si, ss in enumerate(sub_sigs):
@@ -627,15 +615,9 @@ class BatchSynthesizer:
                             continue
                         v = expand_submap(
                             (*ss, len(ch_list)),
-                            take(e["cls"][si]),
-                            npairs,
                             [take(s) for s in e["syms"][si]],
-                            [pp["slot_tbl"] for pp in sub_rt["passes"]],
-                            [
-                                vq
-                                for pp in sub_rt["passes"]
-                                for vq in pp["vqs"]
-                            ],
+                            [take(x) for x in e["idx"][si]],
+                            sub_rt["vqs"],
                             Fp,
                         )
                         parts_ch.append(v)
@@ -783,57 +765,53 @@ class BatchSynthesizer:
             if b.sym is not None:
                 st = self._sym_static(b.key)
                 sub_sigs = []
-                cls_packed = []
                 syms_packed = []
+                idx_packed = []
                 g_seq = 0  # ordinal over (submap, pass, group) enumeration
                 for si, sub in enumerate(st["subs"]):
                     if sub["sig"] is None:
                         sub_sigs.append(None)
-                        cls_packed.append(None)
                         continue
-                    V, Pt, psize, lb, vl, fmt2, ncls, w_c = sub["sig"]
-                    full = np.full((Fp, Pt * V), ncls, dtype=np.uint8)
-                    full[:F] = b.sym.cls[si]
-                    cls_packed.append(pack_bits(full.reshape(-1), w_c))
-                    passes = []
-                    for pp in sub["passes"]:
-                        groups = []
-                        for gi, g in pp["pg"]:
-                            stream = b.sym.syms[gi]
-                            if stream.size % g.nsym:
-                                raise BatchUnsupported(
-                                    "symbol stream not partition-aligned"
-                                )
-                            np_ = stream.size // g.nsym
-                            np_pad = _pad_size(max(np_, 1), 16)
-                            if pads:
-                                np_pad = max(
-                                    np_pad,
-                                    pads.get(("np", b.key, g_seq), 0),
-                                )
-                            g_seq += 1
-                            w = max(int(g.entries).bit_length(), 1)
-                            padded = np.full(
-                                np_pad * g.nsym, g.entries, dtype=np.uint32
+                    V, Pt, psize, lb, vl, fmt2 = sub["sig"]
+                    PV = Pt * V
+                    # scatter-index wire width: values 0..Fp*PV (sentinel
+                    # Fp*PV marks padding; the device scatter drops it)
+                    w_i = max(int(Fp * PV).bit_length(), 1)
+                    frame_row = np.arange(F, dtype=np.int64) * PV
+                    groups = []
+                    for gi, g in zip(sub["gis"], sub["groups"]):
+                        stream = b.sym.syms[gi]
+                        if stream.size % g.nsym:
+                            raise BatchUnsupported(
+                                "symbol stream not partition-aligned"
                             )
-                            padded[: stream.size] = stream
-                            syms_packed.append(pack_bits(padded, w))
-                            groups.append(
-                                (w, g.dims, g.nsym, g.fmt1, np_pad)
+                        np_ = stream.size // g.nsym
+                        np_pad = _pad_size(max(np_, 1), 16)
+                        if pads:
+                            np_pad = max(
+                                np_pad,
+                                pads.get(("np", b.key, g_seq), 0),
                             )
-                        passes.append((pp["p"], pp["col"], tuple(groups)))
+                        g_seq += 1
+                        w = max(int(g.entries).bit_length(), 1)
+                        padded = np.full(
+                            np_pad * g.nsym, g.entries, dtype=np.uint32
+                        )
+                        padded[: stream.size] = stream
+                        syms_packed.append(pack_bits(padded, w))
+                        # region row per applied partition: frame*PV + pv
+                        gidx = np.full(np_pad, Fp * PV, dtype=np.int64)
+                        gidx[:np_] = (
+                            np.repeat(frame_row, b.sym.part_counts[:, gi])
+                            + b.sym.slots[gi]
+                        )
+                        idx_packed.append(pack_bits(gidx, w_i))
+                        groups.append((w, g.dims, g.nsym, g.fmt1, np_pad))
                     sub_sigs.append(
-                        (V, Pt, psize, lb, vl, fmt2, ncls, w_c, tuple(passes))
+                        (V, Pt, psize, lb, vl, fmt2, w_i, tuple(groups))
                     )
-                na = st["na"]
-                npairs = np.zeros((Fp, na), dtype=np.int32)
-                for sub in st["subs"]:
-                    for pp in sub["passes"]:
-                        npairs[:F, pp["col"]] = b.sym.pairs[
-                            :, sub["sm"] * 8 + pp["p"]
-                        ]
-                packs.append(("sym", cls_packed, syms_packed, npairs))
-                padded_n.append((Fp, b.n, "sym", tuple(sub_sigs), na))
+                packs.append(("sym", syms_packed, idx_packed))
+                padded_n.append((Fp, b.n, "sym", tuple(sub_sigs)))
                 continue
             _, C, half = b.residues.shape
             npart = half // PG
@@ -885,14 +863,13 @@ class BatchSynthesizer:
 
         for bucket, e, metas, pk in zip(buckets, entries, metas_per, packs):
             if pk[0] == "sym":
-                _, cls_packed, syms_packed, npairs = pk
-                put(e["npairs"], npairs)
-                for cslot, cdata in zip(e["cls"], cls_packed):
-                    if cslot is not None:
-                        put(cslot, cdata)
+                _, syms_packed, idx_packed = pk
                 flat_slots = [s for gs in e["syms"] for s in gs]
                 for sslot, sdata in zip(flat_slots, syms_packed):
                     put(sslot, sdata)
+                flat_idx = [s for xs in e["idx"] for s in xs]
+                for xslot, xdata in zip(flat_idx, idx_packed):
+                    put(xslot, xdata)
             else:
                 _, gmap, rows, K, ptag = pk
                 tag, off, shape = e["gmap"]
@@ -961,19 +938,35 @@ class BatchSynthesizer:
             evs = self._build_events(
                 offs, ends, fbase_off, plan.segments, total
             )
+            # block-OLA layering (host, tiny): events sorted by j, ranked
+            # within their 128-sample block. K = max events per block (the
+            # device gathers K+1 candidate rows per block and selects per
+            # sample — see the fused body). Power-of-2 quantized so chunk
+            # variation doesn't spawn program families.
+            E = len(evs[0])
+            B = self.OLA_BLOCK
+            order = np.argsort(evs[0], kind="stable")
+            evs = [a[order] for a in evs]
+            blk = evs[0].astype(np.int64) // B
+            new_blk = np.ones(E, dtype=bool)
+            new_blk[1:] = blk[1:] != blk[:-1]
+            idx_e = np.arange(E, dtype=np.int64)
+            rank = idx_e - np.maximum.accumulate(np.where(new_blk, idx_e, 0))
+            K = 1 << int(rank.max()).bit_length() if E else 1
+            if pads:
+                K = max(K, pads.get("Kola", 0))
             # pad event lists to a quantized size; padding scatters at
             # j=out_len, which mode="drop" discards
-            E = len(evs[0])
             Ep = _pad_size(E, 64)
             if pads:
                 Ep = max(Ep, pads.get("Ep", 0))
-            for i_, a_ in enumerate(evs):
+            for i_, a_ in enumerate(list(evs) + [rank]):
                 pad_arr = np.full(
                     Ep, out_len if i_ == 0 else 0, dtype=np.int32
                 )
                 pad_arr[:E] = a_
                 host_args.append(pad_arr)
-            seg_sig = ("ev", Ep)
+            seg_sig = ("ev", Ep, K)
             F_tab = 0
         sig = (
             statics,
@@ -1038,10 +1031,9 @@ def sig_pads(sig) -> dict:
             for ss in pn[3]:
                 if ss is None:
                     continue
-                for (_p, _col, groups) in ss[8]:
-                    for (_w, _d, _nsym, _fmt1, np_pad) in groups:
-                        pads[("np", key, g_seq)] = np_pad
-                        g_seq += 1
+                for (_w, _d, _nsym, _fmt1, np_pad) in ss[7]:
+                    pads[("np", key, g_seq)] = np_pad
+                    g_seq += 1
         else:
             pads[("Kp", key)] = pn[2]
             pads[("ptag", key)] = pn[3]
@@ -1049,6 +1041,7 @@ def sig_pads(sig) -> dict:
                 pads[("gtag", key)] = "i32"
     if seg_sig and seg_sig[0] == "ev":
         pads["Ep"] = seg_sig[1]
+        pads["Kola"] = seg_sig[2]
     pads["out_len"] = out_len
     return pads
 

@@ -104,6 +104,7 @@ def _load():
             C.POINTER(C.c_int32),             # f0_amp
             C.POINTER(C.c_uint8),             # cls
             C.POINTER(C.c_uint16),            # syms
+            C.POINTER(C.c_uint16),            # slots
             C.POINTER(C.c_int32),             # sym_counts
             C.POINTER(C.c_int32),             # pair_counts
             C.c_int64, C.c_int64, C.c_int64, C.c_int64,  # pt_max/sym_cap/n_groups/n_sp
@@ -320,7 +321,9 @@ def decode_packet_spans_sym(
     SymLayout from symbols.symbol_layout().
 
     Returns the decode_packet_spans dict minus ``residues``, plus
-    cls [P,C,pt_max] u8, syms [P,sym_cap] u16, sym_counts [P,n_groups] i32,
+    cls [P,C,pt_max] u8, syms [P,sym_cap] u16, slots [P,sym_cap] u16 (one
+    traversal slot id pv = partition*V + vector_row per APPLIED partition,
+    group-major like syms), sym_counts [P,n_groups] i32,
     pair_counts [P,n_sp] i32."""
     lib = _load()
     if lib is None:
@@ -338,6 +341,7 @@ def decode_packet_spans_sym(
     f0_amp = np.zeros((P, channels), dtype=np.int32)
     cls = np.empty((P, channels, layout.pt_max), dtype=np.uint8)
     syms = np.empty((P, layout.sym_cap), dtype=np.uint16)
+    slots = np.empty((P, layout.sym_cap), dtype=np.uint16)
     sym_counts = np.zeros((P, layout.n_groups), dtype=np.int32)
     pair_counts = np.zeros((P, layout.n_sp), dtype=np.int32)
 
@@ -355,6 +359,7 @@ def decode_packet_spans_sym(
         _ptr(f0_amp, C.c_int32),
         _ptr(cls, C.c_uint8),
         _ptr(syms, C.c_uint16),
+        _ptr(slots, C.c_uint16),
         _ptr(sym_counts, C.c_int32),
         _ptr(pair_counts, C.c_int32),
         layout.pt_max, layout.sym_cap, layout.n_groups, layout.n_sp,
@@ -371,6 +376,7 @@ def decode_packet_spans_sym(
         "f0_amp": f0_amp,
         "cls": cls,
         "syms": syms,
+        "slots": slots,
         "sym_counts": sym_counts,
         "pair_counts": pair_counts,
     }

@@ -528,6 +528,12 @@ void residue_decode_core(const ResidueV& r, const Setup& s, BitReader& br,
 struct SymOut {
     uint8_t* cls;          // [P, C, pt_max], 0xFF = not decoded
     uint16_t* syms;        // [P, sym_cap] group-major per packet
+    uint16_t* slots;       // [P, sym_cap] group-major per packet: one entry
+                           // per APPLIED partition, the traversal slot id
+                           // pv = partition_index * V + vector_row (the
+                           // device scatters partition rows straight to
+                           // region row frame*Pt*V + pv — no cls/rank
+                           // reconstruction needed; ops/residue_sym.py)
     int32_t* sym_counts;   // [P, n_groups]
     int32_t* pair_counts;  // [P, n_sp]: applied pairs per (submap, pass)
     int64_t pt_max, sym_cap, n_groups, n_sp;
@@ -535,6 +541,7 @@ struct SymOut {
 
 struct SymScratch {
     std::vector<std::vector<uint16_t>> grp;
+    std::vector<std::vector<uint16_t>> slot;
     std::vector<int32_t> pairs;
 };
 
@@ -602,7 +609,11 @@ void residue_core_sym(const ResidueV& r, const Setup& s, BitReader& br,
                     int32_t slot = grp_tbl[(size_t)p * n_cb + book_idx];
                     int st = decode_partition_sym(
                         s.codebooks[book_idx], br, sy.grp[slot], psize, fmt1);
-                    if (st >= 1) sy.pairs[sm * 8 + p] += 1;
+                    if (st >= 1) {
+                        sy.pairs[sm * 8 + p] += 1;
+                        sy.slot[slot].push_back(
+                            (uint16_t)(partition_count * n_ch + j));
+                    }
                     if (st <= 1) return;  // EOP
                 }
                 partition_count++;
@@ -695,6 +706,7 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
         const int32_t* grp_map = s.group_of[mode.mapping_idx].data();
         int32_t n_groups_m = s.n_groups_of[mode.mapping_idx];
         for (auto& v : sy->grp) v.clear();
+        for (auto& v : sy->slot) v.clear();
         sy->pairs.assign((size_t)so->n_sp, 0);
         for (uint32_t sm = 0; sm < map.n_submaps; sm++) {
             int ch_list[256];
@@ -723,20 +735,29 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
                                  grp_tbl, n_cb, (int)sm, *sy);
             }
         }
-        // flush group streams (group-major) + counters for this packet
+        // flush group streams (group-major) + counters for this packet;
+        // slot streams flush in the same group order with their own cursor
+        // (one entry per applied partition — host derives the offsets from
+        // sym_counts / nsym per group)
         uint16_t* sdst = so->syms + pkt * so->sym_cap;
+        uint16_t* pdst = so->slots + pkt * so->sym_cap;
         int32_t* cnt = so->sym_counts + pkt * so->n_groups;
-        int64_t wpos = 0;
+        int64_t wpos = 0, spos = 0;
         for (int32_t g = 0; g < n_groups_m; g++) {
             const auto& v = sy->grp[g];
-            if (wpos + (int64_t)v.size() > so->sym_cap) {
+            const auto& sv = sy->slot[g];
+            if (wpos + (int64_t)v.size() > so->sym_cap ||
+                spos + (int64_t)sv.size() > so->sym_cap) {
                 meta[0] = 0;  // capacity bug: fail the frame loudly
                 return;
             }
             cnt[g] = (int32_t)v.size();
             if (!v.empty())
                 std::memcpy(sdst + wpos, v.data(), v.size() * 2);
+            if (!sv.empty())
+                std::memcpy(pdst + spos, sv.data(), sv.size() * 2);
             wpos += (int64_t)v.size();
+            spos += (int64_t)sv.size();
         }
         int32_t* pc = so->pair_counts + pkt * so->n_sp;
         for (int64_t k = 0; k < so->n_sp; k++) pc[k] = sy->pairs[(size_t)k];
@@ -851,7 +872,8 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
                           const int64_t* pkt_end, int64_t n_pkts,
                           int32_t* meta, int32_t* posts, uint8_t* step2,
                           uint8_t* used, float* f0_coeffs, int32_t* f0_amp,
-                          uint8_t* cls, uint16_t* syms, int32_t* sym_counts,
+                          uint8_t* cls, uint16_t* syms, uint16_t* slots,
+                          int32_t* sym_counts,
                           int32_t* pair_counts, int64_t pt_max,
                           int64_t sym_cap, int64_t n_groups, int64_t n_sp,
                           int n_threads) {
@@ -862,7 +884,7 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
     for (int32_t g : s.n_groups_of)
         if (g > n_groups) return -4;  // group table disagreement with caller
     Outputs o{meta, nullptr, posts, step2, used, f0_coeffs, f0_amp};
-    SymOut so{cls, syms, sym_counts, pair_counts,
+    SymOut so{cls, syms, slots, sym_counts, pair_counts,
               pt_max, sym_cap, n_groups, n_sp};
     std::memset(cls, 0xFF, (size_t)(n_pkts * s.channels * pt_max));
 
@@ -873,6 +895,7 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
         Scratch sc;
         SymScratch sy;
         sy.grp.resize((size_t)n_groups);
+        sy.slot.resize((size_t)n_groups);
         for (int64_t i = lo; i < hi; i++) {
             decode_one(s, pkt_data + pkt_start[i], pkt_end[i] - pkt_start[i],
                        i, o, sc, &so, &sy);

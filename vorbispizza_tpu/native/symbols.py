@@ -16,6 +16,17 @@ packet, the residue decode's raw products instead of expanding them:
                                 end-of-packet is padded to its full symbol
                                 count with the sentinel ``book.entries``
                                 (which decodes to a zero row).
+  slots        u16 [sym_cap]    parallel to syms, ONE entry per applied
+                                partition (i.e. per nsym symbols): the
+                                traversal slot id pv = partition * V +
+                                vector_row — the region row the partition's
+                                values land in. Grouped like syms (own
+                                cursor; offsets = cumsum(sym_counts/nsym)).
+                                This is what the device actually consumes
+                                (ops/residue_sym.py scatter-add); cls and
+                                pair_counts below are the redundant
+                                first-principles encoding kept for the
+                                executable spec and cross-checking.
   sym_counts   i32 [n_groups]   symbols recorded per group
   pair_counts  i32 [n_sp]       per (submap, pass) slot sm*8+p: the number
                                 of (partition, vector) pairs that received
@@ -163,6 +174,8 @@ def symbol_layout(setup, ident) -> SymLayout | None:
             if n_ch == 0:
                 continue
             V, _, _, Pt = _vec_shape(r, half, n_ch)
+            if Pt * V > 65535:
+                return None  # slot ids must fit the u16 wire
             pt_max = max(pt_max, Pt)
             per_pass = {}
             for g in groups_per_mapping[mode.mapping_idx]:
@@ -210,6 +223,50 @@ def partition_values(group: SymGroup, book_table: np.ndarray, syms: np.ndarray):
     return rows.reshape(-1, group.nsym, d).transpose(0, 2, 1).reshape(
         -1, d * group.nsym
     )
+
+
+def applied_slots(
+    setup,
+    mode_idx: int,
+    channels: int,
+    cls_rows: np.ndarray,  # [C, pt_max] u8
+    pair_counts: np.ndarray,  # [n_sp] i32
+    groups: list[SymGroup] | None = None,
+) -> dict:
+    """Spec derivation of the per-group applied-partition slot streams the
+    C++ front end records directly (SymOut.slots): for group g, the
+    traversal slot ids pv = partition * V + vector_row of the pairs that
+    received at least one symbol, in traversal order. Returns
+    {global_group_id: np.ndarray u16}."""
+    mode = setup.modes[mode_idx]
+    mapping = setup.mappings[mode.mapping_idx]
+    half = mode.n // 2
+    if groups is None:
+        groups = group_enumeration(setup, mapping)
+    slot_tbl = book_slot_table(setup, mapping, groups)
+    out: dict = {gi: np.zeros(0, dtype=np.uint16) for gi in range(len(groups))}
+    for sm in range(mapping.submaps):
+        r = mapping.submap_residue[sm]
+        ch_list = [c for c in range(channels) if mapping.mux[c] == sm]
+        if not ch_list:
+            continue
+        V, vec_len, limit_begin, Pt = _vec_shape(r, half, len(ch_list))
+        if Pt == 0:
+            continue
+        rows_sel = ch_list[:1] if r.residue_type == 2 else ch_list
+        cls_trav = cls_rows[rows_sel][:, :Pt].T.reshape(-1)  # [Pt*V]
+        for p in range(8):
+            n_pairs = int(pair_counts[sm * 8 + p])
+            bsel = slot_tbl[sm, p][cls_trav]
+            coded = bsel >= 0
+            rank = np.cumsum(coded) - coded
+            applied = coded & (rank < n_pairs)
+            for gi, g in enumerate(groups):
+                if g.submap != sm or g.gpass != p:
+                    continue
+                pv = np.nonzero(applied & (bsel == gi))[0]
+                out[gi] = pv.astype(np.uint16)
+    return out
 
 
 def expand_symbols(

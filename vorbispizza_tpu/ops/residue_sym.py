@@ -2,22 +2,21 @@
 
 The wire carries, per bucket (see native/symbols.py for the host contract):
 
-  cls      bit-packed classifications in traversal order [F, Pt*V]
-           (value ``ncls`` = no vector / never decoded)
-  npairs   i16 [F, NA]: applied (partition, vector) pair count per active
-           (submap, pass) — residue decode stops permanently at the first
-           end-of-packet, so applied pairs are a PREFIX of the coded pairs
-           in traversal order
   syms     per (submap, pass, book) group: bit-packed VQ entry numbers,
            ``book.entries`` = zero-row sentinel (end-of-packet padding)
+  idx      per group, parallel to syms: one bit-packed region row index
+           per applied partition (frame * Pt*V + traversal slot pv;
+           sentinel F*Pt*V = padding), precomputed by the C++ front end +
+           host merge — the device never sees classifications or pair
+           counts
 
-Reconstruction is gather-light and cumsum-driven (TPU-friendly — no
-scatter): classifications select a book per pair via a tiny table lookup,
-exclusive cumsums rank the applied pairs into each group's symbol stream,
-one row-gather per pass pulls whole psize-wide partitions from the
-VQ-expanded value table, placed by static reshapes.
+Reconstruction is one row-gather per group from the VQ-expanded value
+table plus a single scatter-add of all groups' partition rows into the
+region — work scales with the number of APPLIED partitions (sparse),
+not with passes x region rows.
 
-Mirrors native/symbols.py expand_symbols() (the numpy executable spec);
+Mirrors native/symbols.py expand_symbols() (the numpy executable spec,
+which reconstructs the same mapping from cls + pair counts);
 reference behavior: NVorbis/Residue0.cs:117-231.
 """
 
@@ -44,53 +43,52 @@ def pack_bits(vals: np.ndarray, w: int) -> np.ndarray:
 
 def expand_submap(
     sub_sig,
-    cls_buf: jnp.ndarray,
-    npairs: jnp.ndarray,  # i16/i32 [F, NA] (all active columns)
-    sym_bufs: list,  # packed u8 arrays, one per group in pass order
-    slot_tables: list,  # np [ncls+1] i32 per active pass (local slot / -1)
+    sym_bufs: list,  # packed u8 entry streams, one per group in wire order
+    idx_bufs: list,  # packed u8 scatter-index streams, parallel to sym_bufs
     vq_tables: list,  # np [E+1, d] f32 per group (zero row appended)
     F: int,
 ) -> jnp.ndarray:
-    """One submap's residue vectors [F, n_ch, half] float32."""
-    (V, Pt, psize, limit_begin, vec_len, fmt2, ncls, w_c, passes, n_ch) = sub_sig
+    """One submap's residue vectors [F, n_ch, half] float32.
+
+    Scatter formulation: the host ships, per group, the VQ entry stream
+    plus one PRE-COMPUTED region row index per applied partition
+    (frame * Pt*V + pv; sentinel F*Pt*V marks padding). The device expands
+    each group's symbols through its VQ table into psize-wide partition
+    rows and lands everything with ONE scatter-add — work scales with the
+    applied partitions (typically ~10% of region rows summed over passes)
+    instead of passes x F*PV row-gathers, and no classifications, rank
+    cumsums or pair counts exist on the device at all. Exactness: rows are
+    integer-valued (symbol-transport eligibility), so f32 scatter-add
+    accumulation is order-independent."""
+    (V, Pt, psize, limit_begin, vec_len, fmt2, w_i, groups, n_ch) = sub_sig
     PV = Pt * V
-    cls = unpack_bits(cls_buf, w_c, F * PV).reshape(F, PV)
-    region = jnp.zeros((F * PV, psize), dtype=jnp.float32)
-    buf_iter = iter(sym_bufs)
-    vq_iter = iter(vq_tables)
-    for (p_idx, (gpass, col, groups)), slot_np in zip(
-        enumerate(passes), slot_tables
+    parts = []
+    idxs = []
+    for (w, d, nsym, fmt1, np_pad), sbuf, xbuf, vq in zip(
+        groups, sym_bufs, idx_bufs, vq_tables
     ):
-        bsel = jnp.take(jnp.asarray(slot_np), cls)  # [F, PV] local slot/-1
-        coded = bsel >= 0
-        rank = jnp.cumsum(coded, axis=1) - coded  # exclusive, per frame
-        applied = coded & (rank < npairs[:, col].astype(jnp.int32)[:, None])
-        appf = applied.reshape(-1)
-        bself = bsel.reshape(-1)
-        parts = [jnp.zeros((1, psize), dtype=jnp.float32)]
-        gmap = jnp.zeros(F * PV, dtype=jnp.int32)
-        base = 1
-        for li, (w, d, nsym, fmt1, np_pad) in enumerate(groups):
-            syms = unpack_bits(next(buf_iter), w, np_pad * nsym)
-            rows = jnp.take(
-                jnp.asarray(next(vq_iter)), syms, axis=0
-            )  # [S, d]
-            if fmt1:
-                # format 1: dims contiguous (nsym*d == psize by eligibility)
-                part = rows.reshape(np_pad, nsym * d)
-            else:
-                # format 0: symbol k covers strided positions k, k+nsym, ...
-                part = rows.reshape(np_pad, nsym, d).transpose(0, 2, 1)
-                part = part.reshape(np_pad, d * nsym)
-            if part.shape[1] < psize:
-                part = jnp.pad(part, ((0, 0), (0, psize - part.shape[1])))
-            m = appf & (bself == li)
-            within = jnp.cumsum(m) - m  # exclusive, global stream order
-            gmap = jnp.where(m, base + within, gmap)
-            parts.append(part)
-            base += np_pad
-        part_all = jnp.concatenate(parts, axis=0)
-        region = region + jnp.take(part_all, gmap, axis=0)
+        syms = unpack_bits(sbuf, w, np_pad * nsym)
+        rows = jnp.take(jnp.asarray(vq), syms, axis=0)  # [S, d]
+        if fmt1:
+            # format 1: dims contiguous (nsym*d == psize by eligibility)
+            part = rows.reshape(np_pad, nsym * d)
+        else:
+            # format 0: symbol k covers strided positions k, k+nsym, ...
+            part = rows.reshape(np_pad, nsym, d).transpose(0, 2, 1)
+            part = part.reshape(np_pad, d * nsym)
+        if part.shape[1] < psize:
+            part = jnp.pad(part, ((0, 0), (0, psize - part.shape[1])))
+        parts.append(part)
+        idxs.append(unpack_bits(xbuf, w_i, np_pad))
+    part_all = jnp.concatenate(parts, axis=0)
+    idx_all = jnp.concatenate(idxs, axis=0)
+    # sentinel indices equal F*PV: mode="drop" discards >= N (never use
+    # negative sentinels — JAX scatter WRAPS them)
+    region = (
+        jnp.zeros((F * PV, psize), dtype=jnp.float32)
+        .at[idx_all]
+        .add(part_all, mode="drop")
+    )
     region = (
         region.reshape(F, Pt, V, psize)
         .transpose(0, 2, 1, 3)

@@ -75,13 +75,11 @@ def _empty_bucket(ref: BucketBatch) -> BucketBatch:
         sym = SymBucket(
             layout=ref.sym.layout,
             groups=ref.sym.groups,
-            cls=[
-                None if c is None else np.zeros((0,) + c.shape[1:], c.dtype)
-                for c in ref.sym.cls
-            ],
-            cls_bits=list(ref.sym.cls_bits),
-            pairs=np.zeros((0, ref.sym.pairs.shape[1]), ref.sym.pairs.dtype),
             syms=[np.zeros(0, s.dtype) for s in ref.sym.syms],
+            slots=[np.zeros(0, s.dtype) for s in ref.sym.slots],
+            part_counts=np.zeros(
+                (0, ref.sym.part_counts.shape[1]), ref.sym.part_counts.dtype
+            ),
         )
     elif ref.residues is not None:
         residues = np.zeros((0,) + ref.residues.shape[1:], ref.residues.dtype)
