@@ -34,7 +34,7 @@ from ..ogg.container import OggContainer
 from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
-from ..ops.ola import OlaUnsupported, gather_assemble
+from ..ops.ola import OLA_BLOCK, OlaUnsupported, block_assemble
 from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
 from ..ops.pcm_pack import pack_pcm
 from ..ops.residue_sym import expand_submap, pack_bits
@@ -663,20 +663,20 @@ class BatchSynthesizer:
                     )
                 pcm = out
             else:
-                # ("ev", Ep): the gather indices and validity masks are
-                # piecewise j+const / piecewise-constant, so they expand
-                # from HOST-precomputed events (_build_events) with unit
-                # scatters + cumsums — no per-sample table gathers at all
-                # (each 5.3M-index take costs 45-66 ms on v5e; a cumsum
-                # ~8 ms). Padding events scatter at j=out_len: dropped.
-                ev_j, ev_da, ev_db, ev_va, ev_vb = rest[:5]
-                ones = jnp.ones(sig[3], jnp.int32)
-                zero = jnp.zeros(sig[3], jnp.int32)
-                a_idx = jnp.cumsum(ones.at[ev_j].add(ev_da, mode="drop")) - 1
-                b_idx = jnp.cumsum(ones.at[ev_j].add(ev_db, mode="drop")) - 1
-                a_valid = jnp.cumsum(zero.at[ev_j].add(ev_va, mode="drop")) > 0
-                b_valid = jnp.cumsum(zero.at[ev_j].add(ev_vb, mode="drop")) > 0
-                pcm = gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
+                # ("ev", Ep, K) block-OLA: between host events the gather
+                # index advances exactly +1/sample and validity is
+                # constant, so whole 128-sample blocks are CONTIGUOUS
+                # slices of flat. The device scatters the (sorted, ranked)
+                # events to block granularity, prefix-sums NB=L/128 block
+                # levels (not L samples), slice-gathers K+1 candidate rows
+                # per block per side and selects per sample by event
+                # offset. Replaces 2 per-sample 5M-index takes (45-66 ms
+                # each on v5e) + 4 L-length cumsums with ~250k-row slice
+                # gathers + 41k-length cumsums. Padding events scatter at
+                # block out_len/128 = NB: dropped.
+                pcm = block_assemble(
+                    flat, rest[:6], OLA_BLOCK, segments[2], sig[3]
+                )
             if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
@@ -944,7 +944,7 @@ class BatchSynthesizer:
             # sample — see the fused body). Power-of-2 quantized so chunk
             # variation doesn't spawn program families.
             E = len(evs[0])
-            B = self.OLA_BLOCK
+            B = OLA_BLOCK
             order = np.argsort(evs[0], kind="stable")
             evs = [a[order] for a in evs]
             blk = evs[0].astype(np.int64) // B

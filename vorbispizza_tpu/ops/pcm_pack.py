@@ -138,19 +138,17 @@ def pack_pcm(q: jnp.ndarray):
         (blk[:, :, None] >> jnp.arange(MAX_W, dtype=jnp.uint32)) & 1
     ).astype(jnp.bfloat16).reshape(NBt, BLOCK * MAX_W)
     allbytes = jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
-    max_bytes = 4 * WORDS[-1]
-    rows = jnp.zeros((NBt, max_bytes), jnp.uint8)
-    for wi_idx, w in enumerate(WIDTHS[1:], start=1):
-        sl = jax.lax.slice_in_dim(
-            allbytes, int(sel_offs[wi_idx - 1]), int(sel_offs[wi_idx - 1]) + 16 * w, axis=1
-        )
-        sl = jnp.pad(sl, ((0, 0), (0, max_bytes - 16 * w)))
-        rows = jnp.where((widx == wi_idx)[:, None], sl, rows)
-    # compaction at 16-BYTE granularity: every block's byte size 16*w is a
-    # multiple of 16, so the gather moves 4x fewer elements than per-word
-    # (each element copies a dense 16-byte group)
+    # compaction at 16-BYTE granularity DIRECTLY from the per-width byte
+    # streams: every width's bytes sit at a static 16-aligned column
+    # offset in allbytes (16*w bytes at sel_offs[w-1]), so the output
+    # gather indexes (block, width_base + group) straight into the matmul
+    # result — no intermediate select/pad pass materializing 18 masked
+    # copies of every block
     G_PER = 4 * WORDS[-1] // 16  # groups in a max-width block
-    r16 = rows.reshape(NBt, G_PER, 16)
+    a16 = allbytes.reshape(NBt, int(sel_offs[-1]) // 16, 16)
+    gbase_np = np.zeros(len(WIDTHS), dtype=np.int32)
+    gbase_np[1:] = np.asarray(sel_offs[:-1], dtype=np.int32) // 16
+    gbase = jnp.take(jnp.asarray(gbase_np), widx)  # [NBt] group base col
     groups_tbl = jnp.asarray(
         np.asarray([4 * wd // 16 for wd in WORDS], dtype=np.int32)
     )
@@ -167,7 +165,7 @@ def pack_pcm(q: jnp.ndarray):
     blk_of = jnp.clip(blk_of, 0, NBt - 1)
     gib = jnp.arange(cap_groups, dtype=jnp.int32) - jnp.take(goff, blk_of)
     gib = jnp.clip(gib, 0, G_PER - 1)
-    packed = r16[blk_of, gib].reshape(-1)
+    packed = a16[blk_of, jnp.take(gbase, blk_of) + gib].reshape(-1)
     # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
     wout = (widx | blk_flags).astype(jnp.uint8)
     return packed, (total_groups * 16).astype(jnp.int32), wout

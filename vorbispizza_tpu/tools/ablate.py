@@ -65,10 +65,10 @@ def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
     plan, buckets, lens = merge_streams([f[2:4] for f in fronts])
     audio_s = sum(lens) / rate
 
-    def slice_ola(flat, a_idx, a_valid, b_idx, b_valid):
-        # stand-in with the right shape; a_idx & friends go dead and XLA
-        # DCEs the whole event scatter+cumsum index expansion with them
-        return jax.lax.slice_in_dim(flat, 0, a_idx.shape[0], axis=1)
+    def slice_ola(flat, evs, B, K, L):
+        # stand-in with the right shape; the event arrays go dead and XLA
+        # DCEs the whole block-index expansion with them
+        return jnp.pad(flat, ((0, 0), (0, L)))[:, :L]
 
     def flat_synth(self, key, residues, prime, final, floor_inputs, metas):
         return jnp.concatenate([residues, residues], axis=-1)
@@ -84,14 +84,14 @@ def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
         ("full_s16d", "s16d", {}),
         ("no_pack(s16)", "s16", {}),
         ("no_quant(f32)", "f32", {}),
-        ("no_ola", "s16d", {(pl, "gather_assemble"): slice_ola}),
+        ("no_ola", "s16d", {(pl, "block_assemble"): slice_ola}),
         ("no_synth_math", "s16d", {(BatchSynthesizer, "_synth_math"): flat_synth}),
         ("no_res_expand", "s16d", {(pl, "expand_submap"): zero_expand}),
         (
             "takes_only",
             "s16",
             {
-                (pl, "gather_assemble"): slice_ola,
+                (pl, "block_assemble"): slice_ola,
                 (BatchSynthesizer, "_synth_math"): flat_synth,
                 (pl, "expand_submap"): zero_expand,
             },
