@@ -663,19 +663,11 @@ class BatchSynthesizer:
                     )
                 pcm = out
             else:
-                # ("ev", Ep, K) block-OLA: between host events the gather
-                # index advances exactly +1/sample and validity is
-                # constant, so whole 128-sample blocks are CONTIGUOUS
-                # slices of flat. The device scatters the (sorted, ranked)
-                # events to block granularity, prefix-sums NB=L/128 block
-                # levels (not L samples), slice-gathers K+1 candidate rows
-                # per block per side and selects per sample by event
-                # offset. Replaces 2 per-sample 5M-index takes (45-66 ms
-                # each on v5e) + 4 L-length cumsums with ~250k-row slice
-                # gathers + 41k-length cumsums. Padding events scatter at
-                # block out_len/128 = NB: dropped.
+                # ("ev", Ep): expand the OLA mapping from host events and
+                # assemble (ops/ola.block_assemble — see there for why the
+                # per-sample formulation wins on TPU)
                 pcm = block_assemble(
-                    flat, rest[:6], OLA_BLOCK, segments[2], sig[3]
+                    flat, rest[:5], OLA_BLOCK, 0, sig[3]
                 )
             if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
@@ -938,35 +930,19 @@ class BatchSynthesizer:
             evs = self._build_events(
                 offs, ends, fbase_off, plan.segments, total
             )
-            # block-OLA layering (host, tiny): events sorted by j, ranked
-            # within their 128-sample block. K = max events per block (the
-            # device gathers K+1 candidate rows per block and selects per
-            # sample — see the fused body). Power-of-2 quantized so chunk
-            # variation doesn't spawn program families.
-            E = len(evs[0])
-            B = OLA_BLOCK
-            order = np.argsort(evs[0], kind="stable")
-            evs = [a[order] for a in evs]
-            blk = evs[0].astype(np.int64) // B
-            new_blk = np.ones(E, dtype=bool)
-            new_blk[1:] = blk[1:] != blk[:-1]
-            idx_e = np.arange(E, dtype=np.int64)
-            rank = idx_e - np.maximum.accumulate(np.where(new_blk, idx_e, 0))
-            K = 1 << int(rank.max()).bit_length() if E else 1
-            if pads:
-                K = max(K, pads.get("Kola", 0))
             # pad event lists to a quantized size; padding scatters at
             # j=out_len, which mode="drop" discards
+            E = len(evs[0])
             Ep = _pad_size(E, 64)
             if pads:
                 Ep = max(Ep, pads.get("Ep", 0))
-            for i_, a_ in enumerate(list(evs) + [rank]):
+            for i_, a_ in enumerate(evs):
                 pad_arr = np.full(
                     Ep, out_len if i_ == 0 else 0, dtype=np.int32
                 )
                 pad_arr[:E] = a_
                 host_args.append(pad_arr)
-            seg_sig = ("ev", Ep, K)
+            seg_sig = ("ev", Ep)
             F_tab = 0
         sig = (
             statics,
@@ -1041,7 +1017,6 @@ def sig_pads(sig) -> dict:
                 pads[("gtag", key)] = "i32"
     if seg_sig and seg_sig[0] == "ev":
         pads["Ep"] = seg_sig[1]
-        pads["Kola"] = seg_sig[2]
     pads["out_len"] = out_len
     return pads
 

@@ -40,72 +40,31 @@ OLA_BLOCK = 128
 
 
 def block_assemble(flat, evs, B, K, L):
-    """Block-granular OLA expansion + assembly.
+    """Event-expanded OLA assembly: the gather indices and validity masks
+    are piecewise j+const / piecewise-constant between host events
+    (models/pipeline.py _build_events), so they expand with unit scatters
+    + cumsums — no per-sample index tables ride the wire. The assembly is
+    then two per-sample takes (gather_assemble).
 
-    Between host events (models/pipeline.py _build_events) the gather index
-    advances exactly +1 per sample and validity is constant, so every
-    B-sample output block is covered by at most K+1 CONTIGUOUS slices of
-    ``flat`` per side (K = max events per block, computed on host along
-    with each event's within-block rank). Per side this costs: 2 scatters
-    of E events to NB=L/B block totals, 2 NB-length cumsums, one
-    [NB, K+1]-row slice gather, and an elementwise K+1-way select — versus
-    the naive per-sample formulation's L-length cumsums and 5M-index
-    scalar takes (45-66 ms each on v5e).
+    Measured on v5e: the takes cost 45-66 ms per 5M indices and the
+    cumsums ~8 ms each. A block-granular variant (contiguous B-sample
+    slices per block, K+1 layers, vmapped dynamic_slice) was tried and is
+    3.7x SLOWER (310 ms vs 83 ms per 120 s chunk): XLA lowers the
+    unaligned lane-dimension slice gather to per-slice code, and Mosaic
+    cannot DMA dynamically-unaligned lane slices either (the same reason
+    the Pallas hop kernel is gated to 128-aligned hop classes). Padding
+    events carry j = L: mode="drop" discards them.
 
-    evs: (ev_j, ev_da, ev_db, ev_va, ev_vb, ev_rank) i32 arrays; padding
-    events carry j = L so their block index NB is dropped by the scatters.
+    evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays.
     """
-    import jax
-
-    ev_j, ev_da, ev_db, ev_va, ev_vb, ev_rank = evs
-    C = flat.shape[0]
-    NB = L // B
-    blk = ev_j // B
-    off = ev_j - blk * B
-    io = jnp.arange(B, dtype=jnp.int32)
-    base = jnp.arange(NB, dtype=jnp.int32) * B
-    # per-(block, rank) event offsets; B = no event (a sample offset never
-    # reaches B, so absent layers never select)
-    offk = (
-        jnp.full((NB, K), B, jnp.int32).at[blk, ev_rank].set(off, mode="drop")
-    )
-    # sel[nb, i] = number of events at offsets <= i: the layer each sample
-    # reads. Duplicate-j events skip a layer — its zero-width mask never
-    # selects and the cumulative deltas stay correct.
-    sel = (offk[:, :, None] <= io[None, None, :]).sum(axis=1, dtype=jnp.int32)
-    flat_pad = jnp.pad(flat, ((0, 0), (0, B)))
-
-    def side(dv, vv):
-        # block-start levels: exclusive prefix over per-block event totals
-        d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
-        d_pre = jnp.cumsum(d_tot) - d_tot
-        v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
-        v_pre = jnp.cumsum(v_tot) - v_tot
-        # within-block cumulative deltas through event k
-        dk = jnp.zeros((NB, K), jnp.int32).at[blk, ev_rank].add(
-            dv, mode="drop"
-        )
-        dk = jnp.cumsum(dk, axis=1)
-        vk = jnp.zeros((NB, K), jnp.int32).at[blk, ev_rank].add(
-            vv, mode="drop"
-        )
-        vk = jnp.cumsum(vk, axis=1)
-        s0 = (base + d_pre)[:, None]
-        starts = jnp.concatenate([s0, s0 + dk], axis=1)  # [NB, K+1]
-        valid = (
-            jnp.concatenate([v_pre[:, None], v_pre[:, None] + vk], axis=1) > 0
-        )
-        rows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice_in_dim(flat_pad, s, B, axis=1)
-        )(starts.reshape(-1)).reshape(NB, K + 1, C, B)
-        acc = jnp.zeros((NB, C, B), jnp.float32)
-        for k in range(K + 1):
-            m = (sel == k) & valid[:, k : k + 1]  # [NB, B]
-            acc = acc + rows[:, k] * m[:, None, :]
-        return acc
-
-    acc = side(ev_da, ev_va) + side(ev_db, ev_vb)
-    return acc.transpose(1, 0, 2).reshape(C, L)
+    ev_j, ev_da, ev_db, ev_va, ev_vb = evs
+    ones = jnp.ones(L, jnp.int32)
+    zero = jnp.zeros(L, jnp.int32)
+    a_idx = jnp.cumsum(ones.at[ev_j].add(ev_da, mode="drop")) - 1
+    b_idx = jnp.cumsum(ones.at[ev_j].add(ev_db, mode="drop")) - 1
+    a_valid = jnp.cumsum(zero.at[ev_j].add(ev_va, mode="drop")) > 0
+    b_valid = jnp.cumsum(zero.at[ev_j].add(ev_vb, mode="drop")) > 0
+    return gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
 
 
 def gather_assemble(flat, a_idx, a_valid, b_idx, b_valid):

@@ -47,7 +47,12 @@ _sel_cache: list = []
 
 def _selection_matrix():
     """Static bit-plane -> per-width-bytes selection matrix (bf16) and the
-    per-width column offsets; see the MXU matmul in pack_pcm."""
+    per-width column offsets; see the MXU matmul in pack_pcm.
+
+    Row index is b * BLOCK + s (bit-plane-major): the device's bit
+    expansion ((blk >> b) & 1 over a broadcast bit axis) then reshapes to
+    the matmul operand with NO transpose — the sample axis stays the lane
+    axis throughout."""
     if not _sel_cache:
         offs = np.cumsum([0] + [16 * w for w in WIDTHS[1:]])
         M = np.zeros((BLOCK * MAX_W, int(offs[-1])), dtype=np.float32)
@@ -56,7 +61,7 @@ def _selection_matrix():
             for g in range(BLOCK * w):
                 j, k = divmod(g, 8)
                 s, b = divmod(g, w)
-                M[s * MAX_W + b, base + j] += float(1 << k)
+                M[b * BLOCK + s, base + j] += float(1 << k)
         _sel_cache.append((M.astype(jnp.bfloat16), offs))
     return _sel_cache[0]
 
@@ -134,9 +139,12 @@ def pack_pcm(q: jnp.ndarray):
     # in bf16 with f32 MXU accumulation. Measured 49 ms vs 82 ms for the
     # 18-candidate VPU loop at corpus-chunk scale.
     M_bf, sel_offs = _selection_matrix()
+    # bit-plane-major expansion [NBt, MAX_W, BLOCK]: the sample axis stays
+    # the minor (lane) axis, so the reshape to the matmul operand is free
     bits = (
-        (blk[:, :, None] >> jnp.arange(MAX_W, dtype=jnp.uint32)) & 1
-    ).astype(jnp.bfloat16).reshape(NBt, BLOCK * MAX_W)
+        (blk[:, None, :] >> jnp.arange(MAX_W, dtype=jnp.uint32)[None, :, None])
+        & 1
+    ).astype(jnp.bfloat16).reshape(NBt, MAX_W * BLOCK)
     allbytes = jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
     # compaction at 16-BYTE granularity DIRECTLY from the per-width byte
     # streams: every width's bytes sit at a static 16-aligned column
