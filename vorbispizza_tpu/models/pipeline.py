@@ -34,7 +34,7 @@ from ..ogg.container import OggContainer
 from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
-from ..ops.ola import OLA_BLOCK, OlaUnsupported, block_assemble
+from ..ops.ola import OlaUnsupported, block_assemble
 from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
 from ..ops.pcm_pack import pack_pcm
 from ..ops.residue_sym import expand_submap, pack_bits
@@ -663,12 +663,9 @@ class BatchSynthesizer:
                     )
                 pcm = out
             else:
-                # ("ev", Ep): expand the OLA mapping from host events and
-                # assemble (ops/ola.block_assemble — see there for why the
-                # per-sample formulation wins on TPU)
-                pcm = block_assemble(
-                    flat, rest[:5], OLA_BLOCK, 0, sig[3]
-                )
+                # ("ev", Ep): phase-decomposed OLA from host events
+                # (ops/ola.block_assemble; events arrive j-sorted)
+                pcm = block_assemble(flat, rest[:5], sig[3])
             if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
@@ -930,8 +927,12 @@ class BatchSynthesizer:
             evs = self._build_events(
                 offs, ends, fbase_off, plan.segments, total
             )
-            # pad event lists to a quantized size; padding scatters at
-            # j=out_len, which mode="drop" discards
+            # events sorted by j: block_assemble derives each event's
+            # coverage and chain state from the sorted stream. Then pad to
+            # a quantized size; padding scatters at j=out_len, which
+            # mode="drop" discards.
+            order = np.argsort(evs[0], kind="stable")
+            evs = [a[order] for a in evs]
             E = len(evs[0])
             Ep = _pad_size(E, 64)
             if pads:

@@ -12,9 +12,9 @@ contributions:
 
 where ``flat`` is all windowed frames flattened. The production formulation
 is block_assemble(): the per-sample index arrays are piecewise i+const, so
-whole 128-sample blocks are contiguous slices of flat — expanded from
-host-precomputed events at BLOCK granularity (scatter + NB-length cumsums +
-K+1 slice-gathers per side), never materializing per-sample indices.
+whole W-sample blocks are affine slices of flat — expanded from
+host-precomputed events at BLOCK granularity (phase-selected row takes +
+event-coverage replacement), never materializing per-sample indices.
 gather_assemble() below is the per-sample fallback formulation kept for
 reference/tests. On TPU a Pallas per-hop DMA kernel (ops/ola_pallas.py)
 also exists for cut-free aligned streams.
@@ -34,29 +34,17 @@ class OlaUnsupported(BatchUnsupported):
     the batch pipeline need a single fallback exception."""
 
 
-#: block-OLA granularity: one TPU lane tile; also the minimum OLA hop
-#: (blocksize 256 -> 128-sample hops), so blocks rarely hold >2 events
-OLA_BLOCK = 128
+#: phase-decomposition width of block_assemble: W-sample output blocks are
+#: affine slices of flat between events, so the bulk gather runs at 1/W of
+#: the per-sample index count (row takes of [Tf/W, W])
+PHASE_W = 8
 
 
-def block_assemble(flat, evs, B, K, L):
-    """Event-expanded OLA assembly: the gather indices and validity masks
-    are piecewise j+const / piecewise-constant between host events
-    (models/pipeline.py _build_events), so they expand with unit scatters
-    + cumsums — no per-sample index tables ride the wire. The assembly is
-    then two per-sample takes (gather_assemble).
-
-    Measured on v5e: the takes cost 45-66 ms per 5M indices and the
-    cumsums ~8 ms each. A block-granular variant (contiguous B-sample
-    slices per block, K+1 layers, vmapped dynamic_slice) was tried and is
-    3.7x SLOWER (310 ms vs 83 ms per 120 s chunk): XLA lowers the
-    unaligned lane-dimension slice gather to per-slice code, and Mosaic
-    cannot DMA dynamically-unaligned lane slices either (the same reason
-    the Pallas hop kernel is gated to 128-aligned hop classes). Padding
-    events carry j = L: mode="drop" discards them.
-
-    evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays.
-    """
+def expand_assemble(flat, evs, L):
+    """Per-sample reference formulation (tests / CPU fallback): expand the
+    index/validity arrays from events with unit scatters + full-length
+    cumsums, then gather_assemble. Two 5M-index scalar takes cost 45-66 ms
+    each on v5e — block_assemble is the production path."""
     ev_j, ev_da, ev_db, ev_va, ev_vb = evs
     ones = jnp.ones(L, jnp.int32)
     zero = jnp.zeros(L, jnp.int32)
@@ -65,6 +53,106 @@ def block_assemble(flat, evs, B, K, L):
     a_valid = jnp.cumsum(zero.at[ev_j].add(ev_va, mode="drop")) > 0
     b_valid = jnp.cumsum(zero.at[ev_j].add(ev_vb, mode="drop")) > 0
     return gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
+
+
+def block_assemble(flat, evs, L, W: int = PHASE_W):
+    """Phase-decomposed OLA assembly, bit-identical to expand_assemble.
+
+    Between host events (models/pipeline.py _build_events) the gather
+    index advances exactly +1/sample and validity is constant, so every
+    W-sample output block is an affine slice of ``flat``. The bulk of the
+    output is built with TWO row-takes per side over flat viewed as
+    [Tf/W, W] rows (consecutive rows r, r+1 at the block's start index,
+    lane-selected by the start's phase) — 1/W the index count of the
+    per-sample formulation (expand_assemble), whose two 5M-index takes
+    cost 45-66 ms each on v5e.
+
+    Samples in blocks that contain events are REPLACED, not corrected:
+    event k covers [o_k, o_next) within its block, where o_next is the
+    next event's offset when it lands in the same block, else W (events
+    arrive j-SORTED — prepare_host sorts). For covered samples the
+    per-side chain state after event k is simply m_k(t) = blk*W + t +
+    inclusive-cumsum(d)[k] and v_k = inclusive-cumsum(v)[k] > 0 (the
+    sorted stream makes the global cumsum the per-sample prefix). Their
+    value v_k*flat[m_k] scatter-adds onto a base whose bulk was zeroed by
+    the coverage mask, so every output sample is one 0/1-product
+    selection per side plus the same final side-add as gather_assemble —
+    bit-identical to expand_assemble under ANY block decomposition
+    (shard-local geometry included). Duplicate-j events compose exactly:
+    the earlier one's coverage is empty and the later carries the
+    combined deltas.
+
+    A third formulation — per-block contiguous dynamic slices — measured
+    3.7x SLOWER than even expand_assemble (310 ms vs 82 ms per 120 s
+    chunk): XLA lowers unaligned lane-dim slice gathers to per-slice code,
+    and Mosaic cannot DMA dynamically-unaligned lane slices either (the
+    same reason the retired Pallas hop kernel was gated to 128-aligned
+    hops).
+
+    evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays, sorted by ev_j;
+    padding events carry j = L, whose columns >= L every scatter drops.
+    """
+    ev_j, ev_da, ev_db, ev_va, ev_vb = evs
+    C, Tf = flat.shape
+    NB = L // W
+    blk = ev_j // W
+    off = ev_j - blk * W
+    tw = jnp.arange(W, dtype=jnp.int32)
+    # coverage of event k: [off_k, o_next_k) within its block
+    nxt_same = jnp.concatenate(
+        [blk[1:] == blk[:-1], jnp.zeros(1, dtype=bool)]
+    )
+    o_next = jnp.where(
+        nxt_same, jnp.concatenate([off[1:], off[:1]]), jnp.int32(W)
+    )
+    emask = (
+        (tw[None, :] >= off[:, None]) & (tw[None, :] < o_next[:, None])
+    ).astype(jnp.float32)  # [Ep, W]
+    # flat as W-wide rows (one zero row appended; OOB row takes fill 0)
+    TfR = -(-(Tf + 1) // W)
+    flat_r = jnp.pad(flat, ((0, 0), (0, TfR * W - Tf))).reshape(C, TfR, W)
+    cols = ((blk * W)[:, None] + tw[None, :]).reshape(-1)  # event columns
+    # keep = 1 where no event covers the sample (coverages are disjoint)
+    keep = (
+        1.0
+        - jnp.zeros(L, jnp.float32).at[cols].add(
+            emask.reshape(-1), mode="drop"
+        )
+    )[None, :]
+
+    def side(dv, vv):
+        # block-start levels: exclusive prefix over per-block event totals
+        d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
+        d_pre = jnp.cumsum(d_tot) - d_tot
+        v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
+        v_pre = jnp.cumsum(v_tot) - v_tot
+        start = jnp.arange(NB, dtype=jnp.int32) * W + d_pre  # a_idx at t=0
+        bval = (v_pre > 0).astype(jnp.float32)
+        # bulk: rows r, r+1 lane-selected by phase (start may be negative
+        # in invalid regions: arithmetic >> floors, & gives the phase, and
+        # validity zeroes whatever the clamped take returns)
+        r = start >> int(np.log2(W))  # arithmetic shift: floor for negatives
+        ph = start & (W - 1)
+        rowa = jnp.take(flat_r, r, axis=1, mode="fill", fill_value=0.0)
+        rowb = jnp.take(flat_r, r + 1, axis=1, mode="fill", fill_value=0.0)
+        cat = jnp.concatenate([rowa, rowb], axis=-1)  # [C, NB, 2W]
+        approx = jnp.zeros((C, NB, W), jnp.float32)
+        for p in range(W):
+            approx = jnp.where(
+                (ph == p)[None, :, None], cat[:, :, p : p + W], approx
+            )
+        approx = approx * bval[None, :, None]
+        # covered samples: chain state after event k from the global
+        # inclusive cumsum of the j-sorted stream
+        m_cur = (blk * W + jnp.cumsum(dv))[:, None] + tw[None, :]  # [Ep, W]
+        v_cur = (jnp.cumsum(vv) > 0).astype(jnp.float32)[:, None]
+        f_cur = jnp.take(flat, m_cur, axis=1, mode="fill", fill_value=0.0)
+        vals = f_cur * (v_cur * emask)  # [C, Ep, W] exact 0/1 selection
+        base = approx.reshape(C, L) * keep
+        return base.at[:, cols].add(vals.reshape(C, -1), mode="drop")
+
+    # the final side-add matches gather_assemble's `a + b` bit-for-bit
+    return side(ev_da, ev_va) + side(ev_db, ev_vb)
 
 
 def gather_assemble(flat, a_idx, a_valid, b_idx, b_valid):

@@ -45,7 +45,9 @@ def _patched(monkey: dict):
     return cm()
 
 
-def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
+def run_ablation(
+    n_files: int = 8, secs: float = 15.0, reps: int = 5, channels: int = 2
+):
     from ..models import pipeline as pl
     from ..models.corpus import _front_end, merge_streams
     from ..models.pipeline import BatchSynthesizer
@@ -54,7 +56,7 @@ def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
     rate = 44100
     corpus = [
         encode_vorbis(
-            make_signal(2, secs, rate=rate, kind="music", seed=s),
+            make_signal(channels, secs, rate=rate, kind="music", seed=s),
             rate=rate,
             quality=0.4,
         )
@@ -65,7 +67,7 @@ def run_ablation(n_files: int = 8, secs: float = 15.0, reps: int = 5):
     plan, buckets, lens = merge_streams([f[2:4] for f in fronts])
     audio_s = sum(lens) / rate
 
-    def slice_ola(flat, evs, B, K, L):
+    def slice_ola(flat, evs, L, W=8):
         # stand-in with the right shape; the event arrays go dead and XLA
         # DCEs the whole block-index expansion with them
         return jnp.pad(flat, ((0, 0), (0, L)))[:, :L]
@@ -132,4 +134,5 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
-    run_ablation(n, s)
+    ch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    run_ablation(n, s, channels=ch)
