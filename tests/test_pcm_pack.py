@@ -79,13 +79,13 @@ def test_every_width_exercised():
         blocks.append(b)
 
     blk()  # width 0
-    for w in range(2, 17):
+    for w in [w for w in WIDTHS if 2 <= w <= 16]:
         # zigzag(-2B) = 4B-1 = 2^w - 1: exactly w bits
         B = 1 << (w - 2)
         blk((0, B), (1, -2 * B), (2, B))
-    # widths 17/18 need |d2| beyond the q range; derive from an in-range
+    # width 18 needs |d2| beyond the q range; derive from an in-range
     # q spike [A, B, 0, 0]: d2 = [A, B-2A, A-2B, B]
-    for A, B, w in ((16384, -16385, 17), (32600, -32700, 18)):
+    for A, B, w in ((32600, -32700, 18),):
         d2 = [A, B - 2 * A, A - 2 * B, B]
         zz = max((abs(v) * 2 - (v < 0)) for v in d2)
         assert (1 << (w - 1)) <= zz < (1 << w), (w, zz)

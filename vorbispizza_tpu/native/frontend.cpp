@@ -926,9 +926,9 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
 int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
                   int64_t nbt, int64_t C, int64_t L, int16_t* out,
                   int n_threads) {
-    // must match ops/pcm_pack.py WIDTHS
-    static const int W[19] = {0, 1, 2,  3,  4,  5,  6,  7,  8,  9,
-                              10, 11, 12, 13, 14, 15, 16, 17, 18};
+    // must match ops/pcm_pack.py WIDTHS (fine rungs at the measured
+    // width histogram's mass, coarse escape rungs above)
+    static const int W[12] = {0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 18};
     if (C <= 0 || nbt % C != 0) return -1;
     int64_t NB = nbt / C;
     if (NB * 128 < L) return -1;
@@ -939,7 +939,7 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
         int64_t bytes = 0;
         for (int64_t b = 0; b < NB; b++) {
             uint8_t wi = widx[c * NB + b] & 0x1F;
-            if (wi > 18) return -2;
+            if (wi > 11) return -2;
             bytes += 16 * W[wi];
         }
         ch_off[c + 1] = ch_off[c] + bytes;

@@ -32,11 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 
 #: allowed block bit-widths; every w gives a u32-word-multiple block size
-#: (128*w/8 = 16*w bytes). Full 0..18 granularity saves ~11% over
-#: even-only steps on decoded music (avg block overshoot 0.5 bit less);
-#: 18 always suffices (zigzagged d2 of s16 spans 18 bits). Must match
-#: the W[] table in native/frontend.cpp vp_unpack_pcm.
-WIDTHS = tuple(range(19))
+#: (128*w/8 = 16*w bytes). Fine granularity where blocks actually land
+#: (measured on decoded music q0.4-0.5: 95% of blocks at w<=4, ~99% at
+#: w<=6, nothing above 12), coarse escape rungs above: a block rounds up
+#: to the next available width, costing ~0.7% extra wire bytes, while the
+#: device-side all-widths selection matmul shrinks with sum(WIDTHS)
+#: (16*84=1344 output columns vs 2736 for full 0..18 — the pack stage was
+#: the largest exec-only term at 50 ms/120 s chunk). 18 always suffices
+#: (zigzagged d2 of s16 spans 18 bits). Must match the W[] table in
+#: native/frontend.cpp vp_unpack_pcm.
+WIDTHS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 18)
 BLOCK = 128
 MAX_W = WIDTHS[-1]
 #: u32 words per block for each width
