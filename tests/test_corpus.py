@@ -179,6 +179,40 @@ def test_decode_corpus_mixed_setups():
     assert s0 is s3
 
 
+def test_cross_setup_chunk_merges_to_one_program():
+    """Streams of THREE different setups (qualities) with one channel
+    count merge into ONE chunk and decode through ONE fused program
+    (VERDICT r2 item 7): bucket keys carry setup identity (BucketKey.sid),
+    so the program-family count tracks corpus composition, not the number
+    of encoder settings."""
+    from vorbispizza_tpu.models import corpus as corpus_mod
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    corpus = [
+        encode_vorbis(
+            make_signal(2, 0.5, kind="music", seed=40 + s), quality=q
+        )
+        for s, q in enumerate((0.2, 0.5, 0.8))
+    ]
+    saved = dict(corpus_mod._SYNTH_CACHE)
+    corpus_mod._SYNTH_CACHE.clear()
+    try:
+        outs = decode_corpus(corpus)
+        synth = corpus_mod._SYNTH_CACHE.get(2)
+        assert synth is not None, "batched path did not run"
+        assert len(synth.setups) == 3
+        fused = [k for k in synth._fns if k[0] == "fused"]
+        assert len(fused) == 1, f"expected one fused program, got {fused}"
+        # and the merged multi-setup program is exact per stream
+        for data, got in zip(corpus, outs):
+            ref = scalar_decode(data)
+            assert got.shape == ref.shape
+            assert np.abs(got - ref).max() <= 2e-6
+    finally:
+        corpus_mod._SYNTH_CACHE.clear()
+        corpus_mod._SYNTH_CACHE.update(saved)
+
+
 def test_decode_corpus_s16_clipping_extremes():
     """Every s16 wire format at the clip rails: a hot signal (inter-sample
     peaks past full scale) must quantize identically to the scalar s16

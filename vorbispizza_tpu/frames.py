@@ -24,7 +24,7 @@ exactly the reference's lapping semantics (StreamDecoder.cs:764).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -45,6 +45,25 @@ class BucketKey:
     mode_idx: int
     prev_flag: bool
     next_flag: bool
+    #: originating-setup id (setup_sid): lets buckets from DIFFERENT
+    #: setups coexist in one merged plan / fused program (cross-setup
+    #: chunk merging, models/corpus.py). 0 only before extract stamps it.
+    sid: int = 0
+
+
+_sid_counter = [0]
+
+
+def setup_sid(setup) -> int:
+    """Small process-stable id for a parsed setup object. Byte-identical
+    setup headers share one object (header.parse_setup_cached), so the id
+    is stable for as long as any bucket/synthesizer holds the setup."""
+    sid = getattr(setup, "_vp_sid", None)
+    if sid is None:
+        _sid_counter[0] += 1
+        sid = _sid_counter[0]
+        setup._vp_sid = sid
+    return sid
 
 
 @dataclass(slots=True)
@@ -736,10 +755,12 @@ def _extract_batch_native(
             )
     plan.audio_bits = meta[:, 4].astype(np.int64)
 
+    sid = setup_sid(setup)
     out: list[BucketBatch] = []
     for key, indices in plan.buckets.items():
         mode = setup.modes[key.mode_idx]
         mapping = setup.mappings[mode.mapping_idx]
+        key = replace(key, sid=sid)
         n = mode.n
         half = n // 2
         idx = np.asarray(indices, dtype=np.int64)
@@ -815,10 +836,12 @@ def _extract_batch_native(
 
 
 def _extract_batch_python(plan: FramePlan, setup, channels: int) -> list[BucketBatch]:
+    sid = setup_sid(setup)
     out: list[BucketBatch] = []
     for key, indices in plan.buckets.items():
         mode = setup.modes[key.mode_idx]
         mapping = setup.mappings[mode.mapping_idx]
+        key = replace(key, sid=sid)
         n = mode.n
         half = n // 2
         F = len(indices)

@@ -39,20 +39,22 @@ _SYNTH_CACHE_MAX = 32
 
 
 def _synthesizer_for(setup, channels: int) -> BatchSynthesizer:
-    """Process-wide BatchSynthesizer cache keyed on setup identity (setups
-    are shared via parse_setup_cached, so identity is stable and the held
-    reference keeps the id alive). Reusing the synthesizer reuses its
-    jitted programs — retracing per decode_corpus call costs seconds per
-    program load on a remote accelerator."""
-    key = (id(setup), channels)
+    """Process-wide BatchSynthesizer cache keyed on channel count; every
+    setup that flows through registers with the synthesizer (buckets name
+    their setup via key.sid), so heterogeneous corpora share ONE
+    synthesizer and its jitted-program cache per channel count — retracing
+    per decode_corpus call costs seconds per program load on a remote
+    accelerator, and cross-setup merged chunks need one synthesizer that
+    knows every member setup."""
     with _SYNTH_LOCK:
-        hit = _SYNTH_CACHE.get(key)
-        if hit is not None and hit[0] is setup:
-            return hit[1]
-        synth = BatchSynthesizer(setup, channels)
-        if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:
-            _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
-        _SYNTH_CACHE[key] = (setup, synth)
+        synth = _SYNTH_CACHE.get(channels)
+        if synth is None:
+            synth = BatchSynthesizer(setup, channels)
+            if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:
+                _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
+            _SYNTH_CACHE[channels] = synth
+        else:
+            synth.add_setup(setup)
         return synth
 
 
@@ -115,8 +117,12 @@ def merge_streams(items):
     three host->device copies TOTAL, which matters when per-call latency to
     the accelerator is non-trivial.
 
-    All streams must share the same setup config and channel count (callers
-    group by setup identity). Returns (plan, buckets, pcm_lengths)."""
+    All streams must share the channel count (callers group by it) but NOT
+    the setup: bucket keys carry their setup identity (BucketKey.sid), so
+    buckets from different setups coexist as separate buckets of one
+    merged plan and one fused program (the synthesizer resolves each
+    bucket's mode/window/codebook statics through key.sid).
+    Returns (plan, buckets, pcm_lengths)."""
     from ..frames import FrameSoA
 
     soa_parts: list = []
@@ -380,7 +386,7 @@ def decode_corpus(
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
         return outs
 
-    # Batched path: accumulate per-(setup, channels) groups as front ends
+    # Batched path: accumulate per-channel-count groups as front ends
     # complete; pack + DISPATCH a merged chunk the moment a group reaches
     # the transfer sweet spot, so transfers/compute pipeline behind the
     # remaining front ends. A small collector pool pulls + unpacks each
@@ -396,6 +402,8 @@ def decode_corpus(
         nonlocal n_dispatched
         setup, channels = fronts_by_idx[chunk[0]][:2]
         synth = _synthesizer_for(setup, channels)
+        for i in chunk[1:]:  # cross-setup chunk: register every setup
+            synth.add_setup(fronts_by_idx[i][0])
         with t.stage("merge"):
             plan_m, buckets_m, pcm_lengths = merge_streams(
                 [fronts_by_idx[i][2:4] for i in chunk]
@@ -436,7 +444,7 @@ def decode_corpus(
         pending.append((chunk, pcm_lengths, merged_out, fut))
 
     fronts_by_idx: dict = {}
-    acc: dict = {}  # (sid, channels) -> [indices, residue_bytes]
+    acc: dict = {}  # channels -> [indices, residue_bytes]
     with t.stage("front_end"):
         with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
             futs = [pool.submit(front_end_or_none, src) for src in sources]
@@ -450,7 +458,12 @@ def decode_corpus(
                     outs[i] = _scalar_fallback(sources[i], output, clip_samples)
                     continue
                 fronts_by_idx[i] = front
-                key = (id(front[0]), front[1])
+                # chunks group by CHANNEL COUNT only: buckets carry their
+                # setup identity (key.sid), so streams of different setups
+                # merge into one chunk / one fused program (heterogeneous
+                # corpora would otherwise fragment into one program family
+                # and one undersized chunk sequence per encoder setting)
+                key = front[1]
                 rec = acc.setdefault(key, [[], 0])
                 rec[0].append(i)
                 rec[1] += sum(b.batch_cost for b in front[3])

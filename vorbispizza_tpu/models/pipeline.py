@@ -64,6 +64,11 @@ class BatchSynthesizer:
     def __init__(self, setup, channels: int, use_pallas_ola: bool | None = None):
         self.setup = setup
         self.channels = channels
+        #: sid -> parsed setup: buckets name their setup via key.sid, so
+        #: ONE synthesizer (and one fused program) can carry buckets from
+        #: DIFFERENT setups in a merged cross-setup chunk
+        self.setups: dict = {}
+        self.add_setup(setup)
         self._fns: dict = {}
         if use_pallas_ola is None:
             from ..config import VorbisConfig
@@ -77,10 +82,26 @@ class BatchSynthesizer:
 
     # -- one bucket: [F, C, half] tensors -> [F, C, n] windowed frames ----------
 
+    def add_setup(self, setup) -> None:
+        """Register a setup so its buckets (key.sid) resolve; merged
+        cross-setup chunks register every member stream's setup."""
+        from ..frames import setup_sid
+
+        self.setups[setup_sid(setup)] = setup
+
+    def _setup_for(self, key):
+        s = self.setups.get(key.sid)
+        if s is None:
+            if key.sid == 0:  # hand-built test buckets (no extract stamp)
+                return self.setup
+            raise KeyError(f"setup sid {key.sid} not registered")
+        return s
+
     def _bucket_static(self, key):
         """(n, window, coupling_steps) — static per bucket key."""
-        mode = self.setup.modes[key.mode_idx]
-        mapping = self.setup.mappings[mode.mapping_idx]
+        setup = self._setup_for(key)
+        mode = setup.modes[key.mode_idx]
+        mapping = setup.mappings[mode.mapping_idx]
         info = window_geometry(
             mode.blocksizes, mode.block_flag, key.prev_flag, key.next_flag
         )
@@ -377,7 +398,7 @@ class BatchSynthesizer:
             return cached
         from ..native.symbols import _vec_shape
 
-        setup = self.setup
+        setup = self._setup_for(key)
         mode = setup.modes[key.mode_idx]
         mapping = setup.mappings[mode.mapping_idx]
         layout = setup._sym_layout

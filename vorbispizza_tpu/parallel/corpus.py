@@ -48,7 +48,9 @@ class ShardMismatch(Exception):
 
 
 def _bucket_order(b: BucketBatch):
-    return (b.key.mode_idx, bool(b.key.prev_flag), bool(b.key.next_flag))
+    return (
+        b.key.sid, b.key.mode_idx, bool(b.key.prev_flag), bool(b.key.next_flag)
+    )
 
 
 def _empty_bucket(ref: BucketBatch) -> BucketBatch:
@@ -130,7 +132,10 @@ def _unify_buckets(merged):
     for _, bks, _ in merged:
         for b in bks:
             ref_by_key.setdefault(b.key, b)
-    keys = sorted(ref_by_key, key=lambda k: (k.mode_idx, k.prev_flag, k.next_flag))
+    keys = sorted(
+        ref_by_key,
+        key=lambda k: (k.sid, k.mode_idx, k.prev_flag, k.next_flag),
+    )
     blists = []
     for _, bks, _ in merged:
         by_key = {b.key: b for b in bks}
@@ -253,7 +258,8 @@ def unpack_shard(row: np.ndarray, sig, channels: int, total: int):
 
 def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
     """Decode a corpus with stream-level data parallelism over ``mesh``
-    (1-D). Groups streams by setup, partitions each group over the mesh
+    (1-D). Groups streams by channel count (setups may differ — bucket
+    keys carry setup identity), partitions each group over the mesh
     devices (balanced by frame count), and runs ONE shard_map program per
     group. Falls back per stream to the scalar decoder for shapes the batch
     planner rejects, and per group to single-device dispatch on
@@ -278,11 +284,16 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
             outs[i] = _scalar_fallback(sources[i], output, True)
             continue
         fronts[i] = front
-        groups.setdefault((id(front[0]), front[1]), []).append(i)
+        # group by channel count only — bucket keys carry setup identity
+        # (BucketKey.sid), so heterogeneous setups share one shard_map
+        # program family per channel count
+        groups.setdefault(front[1], []).append(i)
 
     n_shards = int(np.prod(list(mesh.shape.values())))
-    for (_, channels), idxs in groups.items():
+    for channels, idxs in groups.items():
         synth = _synthesizer_for(fronts[idxs[0]][0], channels)
+        for i in idxs[1:]:
+            synth.add_setup(fronts[i][0])
         costs = [fronts[i][2].n_frames for i in idxs]
         parts = partition_indices(costs, n_shards)
         shard_items = [
