@@ -397,6 +397,13 @@ def decode_corpus(
     pending: list = []
     n_dispatched = 0
     collect_pool = cf.ThreadPoolExecutor(max_workers=3)
+    # merge/prepare/dispatch run on ONE dedicated thread, in submission
+    # order (chunk composition stays deterministic): the main loop keeps
+    # consuming front-end futures while chunk k's prepare blocks on
+    # device_put staging over a high-latency link — without this, every
+    # chunk's h2d serializes against the remaining front ends
+    dispatch_pool = cf.ThreadPoolExecutor(max_workers=1)
+    dispatch_futs: list = []
 
     def dispatch(chunk, fronts_by_idx):
         nonlocal n_dispatched
@@ -408,6 +415,10 @@ def decode_corpus(
             plan_m, buckets_m, pcm_lengths = merge_streams(
                 [fronts_by_idx[i][2:4] for i in chunk]
             )
+        for i in chunk:
+            # merged copies exist now: release the per-stream plan/bucket
+            # arrays so corpus memory stays bounded by chunk size
+            del fronts_by_idx[i]
         dev = devices[n_dispatched % len(devices)] if devices else None
         n_dispatched += 1
         try:
@@ -468,14 +479,22 @@ def decode_corpus(
                 rec[0].append(i)
                 rec[1] += sum(b.batch_cost for b in front[3])
                 if rec[1] >= max_batch_bytes:
-                    dispatch(sorted(rec[0]), fronts_by_idx)
+                    dispatch_futs.append(
+                        dispatch_pool.submit(
+                            dispatch, sorted(rec[0]), fronts_by_idx
+                        )
+                    )
                     acc[key] = [[], 0]
     for key, (idxs, nbytes) in acc.items():
         if idxs:
-            dispatch(sorted(idxs), fronts_by_idx)
+            dispatch_futs.append(
+                dispatch_pool.submit(dispatch, sorted(idxs), fronts_by_idx)
+            )
 
     with t.stage("collect"):
         try:
+            for f in dispatch_futs:
+                f.result()  # ordered drain; propagates dispatch errors
             for chunk, pcm_lengths, merged_out, fut in pending:
                 if output == "device":
                     c = 0
@@ -489,8 +508,10 @@ def decode_corpus(
                         outs[i] = host[:, c : c + ln]
                         c += ln
         finally:
-            # a fut.result() exception must not leak the pool (in-flight
-            # pulls would keep running after decode_corpus raises)
+            # a fut.result() exception must not leak the pools (in-flight
+            # dispatches/pulls would keep running after decode_corpus
+            # raises)
+            dispatch_pool.shutdown(wait=True)
             collect_pool.shutdown(wait=True)
         t.count("d2h_bytes", pulled_bytes[0])
     return outs
