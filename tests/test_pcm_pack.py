@@ -172,10 +172,11 @@ def test_inter_channel_blocks():
 
 
 def test_inter_channel_multichannel_pairs():
-    """5.1-style 6-channel: pairs (0,1),(2,3),(4,5) decorrelate
-    independently; odd-channel-count streams leave the trailing channel
-    alone."""
-    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+    """Multichannel pairing (pair_partner): 5.1 pairs the correlated
+    front L/R (0,2) and rear Ls/Rs (3,4) per the Vorbis channel order
+    (L, C, R, Ls, Rs, LFE); other counts pair adjacently and leave a
+    trailing odd channel alone. Both unpackers reconstruct exactly."""
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy, pair_partner
 
     rng = np.random.default_rng(5)
     t = np.arange(20_000, dtype=np.float64)
@@ -192,9 +193,41 @@ def test_inter_channel_multichannel_pairs():
         nb = int(nbytes)
         data = np.asarray(packed[:nb])
         widx_h = np.asarray(widx)
+        NB = widx_h.shape[0] // C
+        partner = pair_partner(C)
+        for c in range(C):  # only paired dependents may carry bit 6
+            has_inter = bool((widx_h[c * NB : (c + 1) * NB] >> 6).any())
+            if partner[c] == c:
+                assert not has_inter, c
         assert np.array_equal(
             unpack_pcm(data, widx_h, C, q.shape[1]), q.astype(np.int16)
         )
         assert np.array_equal(
             _unpack_pcm_numpy(data, widx_h, C, q.shape[1]), q.astype(np.int16)
         )
+
+    # 5.1-shaped correlation (front pair + rear pair, distinct content):
+    # dependents 2 and 4 pick inter against partners 0 and 3, and the wire
+    # beats adjacent pairing on this content
+    front = 12000 * np.sin(2 * np.pi * 220 * t / 44100)
+    rear = 7000 * np.sin(2 * np.pi * 147 * t / 44100)
+    side_f = 250 * np.sin(2 * np.pi * 441 * t / 44100)
+    side_r = 180 * np.sin(2 * np.pi * 330 * t / 44100)
+    center = 5000 * np.sin(2 * np.pi * 95 * t / 44100)
+    lfe = 3000 * np.sin(2 * np.pi * 40 * t / 44100)
+    q51 = (
+        np.stack([
+            front + side_f, center, front - side_f,
+            rear + side_r, rear - side_r, lfe,
+        ])
+        .round().astype(np.int32).clip(-32768, 32767)
+    )
+    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q51))
+    widx_h = np.asarray(widx)
+    NB = widx_h.shape[0] // 6
+    for c in (2, 4):
+        assert (widx_h[c * NB : (c + 1) * NB] >> 6).any(), c
+    data = np.asarray(packed[: int(nbytes)])
+    assert np.array_equal(
+        unpack_pcm(data, widx_h, 6, q51.shape[1]), q51.astype(np.int16)
+    )

@@ -1016,19 +1016,37 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
             p += 16 * w;
         }
     };
-    // channels decode per PAIR (the inter candidates reference the even
-    // partner), so threading splits across pairs
-    int64_t NP = (C + 1) / 2;
+    // channels decode per UNIT — a (stash, dependent) pair or a singleton
+    // (the inter candidates reference the partner's d2 stream). Pairing
+    // must match ops/pcm_pack.py pair_partner: 5.1 (Vorbis channel order
+    // L,C,R,Ls,Rs,LFE) pairs the correlated (0,2) and (3,4); every other
+    // channel count pairs adjacently. Threading splits across units.
+    struct Unit { int a; int b; };  // b = -1 for singletons
+    std::vector<Unit> units;
+    {
+        std::vector<int> partner(C, -1);
+        if (C == 6) { partner[2] = 0; partner[4] = 3; }
+        else for (int64_t c = 1; c < C; c += 2) partner[c] = (int)(c - 1);
+        std::vector<char> used(C, 0);
+        for (int64_t c = 0; c < C; c++)
+            if (partner[c] >= 0) {
+                units.push_back({partner[c], (int)c});
+                used[partner[c]] = used[c] = 1;
+            }
+        for (int64_t c = 0; c < C; c++)
+            if (!used[c]) units.push_back({(int)c, -1});
+    }
+    int64_t NP = (int64_t)units.size();
     auto work = [&](int64_t p0, int64_t p1) {
         std::vector<int32_t> d2buf;
         for (int64_t p = p0; p < p1; p++) {
-            int64_t c0 = 2 * p;
-            if (c0 + 1 < C) {
+            Unit u = units[(size_t)p];
+            if (u.b >= 0) {
                 d2buf.resize((size_t)(NB * 128));
-                decode_ch(c0, d2buf.data(), nullptr);
-                decode_ch(c0 + 1, nullptr, d2buf.data());
+                decode_ch(u.a, d2buf.data(), nullptr);
+                decode_ch(u.b, nullptr, d2buf.data());
             } else {
-                decode_ch(c0, nullptr, nullptr);
+                decode_ch(u.a, nullptr, nullptr);
             }
         }
     };

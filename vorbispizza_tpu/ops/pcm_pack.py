@@ -50,6 +50,21 @@ WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
 _sel_cache: list = []
 
 
+def pair_partner(C: int) -> np.ndarray:
+    """Per-channel inter-candidate partner (partner[c] == c means channel
+    c has no inter candidates). Vorbis 5.1 channel order is
+    (L, C, R, Ls, Rs, LFE) — adjacent pairing would couple uncorrelated
+    channels (L with center, Rs with LFE), so C==6 pairs the correlated
+    front L/R (0,2) and rear Ls/Rs (3,4); center and LFE stay unpaired.
+    Every other channel count pairs adjacently: (0,1), (2,3), …
+    Must match the partner tables in native/frontend.cpp vp_unpack_pcm
+    and _unpack_pcm_numpy (wire bit 6 = 'subtract THIS table's partner')."""
+    ch = np.arange(C)
+    if C == 6:
+        return np.array([0, 1, 0, 3, 3, 5])
+    return np.where(ch % 2 == 1, ch - 1, ch)
+
+
 def _selection_matrix():
     """Static bit-plane -> per-width-bytes selection matrix (bf16) and the
     per-width column offsets; see the MXU matmul in pack_pcm.
@@ -111,13 +126,14 @@ def pack_pcm(q: jnp.ndarray):
     cands = [zig_blocks(d2), zig_blocks(d3)]
     flags = [0, 1 << 5]
     if C >= 2:
-        ch = np.arange(C)
-        partner = np.where(ch % 2 == 1, ch - 1, ch)
+        partner = pair_partner(C)
         cands.append(zig_blocks(d2 - d2[partner]))
         cands.append(zig_blocks(d3 - d3[partner]))
         flags += [1 << 6, (1 << 5) | (1 << 6)]
-        # inter only valid for odd channels (block t belongs to ch t//NB)
-        inter_ok = jnp.asarray((np.arange(NBt) // NB) % 2 == 1)
+        # inter only valid for paired dependents (block t -> ch t//NB)
+        inter_ok = jnp.asarray(
+            partner[np.arange(NBt) // NB] != (np.arange(NBt) // NB)
+        )
     INVALID = jnp.int32(len(WIDTHS))
     wis = []
     for k, cb in enumerate(cands):
@@ -330,16 +346,17 @@ def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
         return np.where(f_s, base + S - s_pre, v)
 
     d2 = np.empty_like(d_flat)
-    ev = np.arange(0, C, 2)
-    d2[ev] = chain_d2(d_flat[ev], f[ev])
-    od = np.arange(1, C, 2)
-    if od.size:
-        # inter blocks add the even partner's same-order difference
-        d2_p = d2[od - 1]
+    partner = pair_partner(C)
+    ind = np.nonzero(partner == np.arange(C))[0]  # stash + unpaired
+    d2[ind] = chain_d2(d_flat[ind], f[ind])
+    dep = np.nonzero(partner != np.arange(C))[0]
+    if dep.size:
+        # inter blocks add the pair partner's same-order difference
+        d2_p = d2[partner[dep]]
         d3_p = np.diff(d2_p, axis=1, prepend=0)
-        f_s = np.repeat(f[od], BLOCK, axis=1)
-        g_s = np.repeat(inter[od], BLOCK, axis=1)
-        v = d_flat[od] + g_s * np.where(f_s, d3_p, d2_p)
-        d2[od] = chain_d2(v, f[od])
+        f_s = np.repeat(f[dep], BLOCK, axis=1)
+        g_s = np.repeat(inter[dep], BLOCK, axis=1)
+        v = d_flat[dep] + g_s * np.where(f_s, d3_p, d2_p)
+        d2[dep] = chain_d2(v, f[dep])
     q = np.cumsum(np.cumsum(d2, axis=1), axis=1)[:, :L]
     return q.astype(np.int16)
