@@ -108,6 +108,24 @@ def _install_guards() -> None:
     signal.signal(signal.SIGALRM, on_signal)
     signal.alarm(int(_HARD_S))
 
+    # the SIGALRM handler only runs between Python bytecodes on the main
+    # thread — a backend init or compile HUNG inside a C call (observed:
+    # 18+ min tunnel-down init stalls) would ride straight through the
+    # alarm into the driver's kill. A daemon watchdog THREAD needs no
+    # main-thread cooperation: at the hard deadline it flushes the
+    # best-known JSON and force-exits.
+    import threading
+
+    def watchdog():
+        time.sleep(_HARD_S + 10.0)
+        if not _emitted[0]:
+            _mark("watchdog: main thread wedged; flushing JSON")
+            _emit_json()
+            sys.stdout.flush()
+            os._exit(4)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
 
 def _over_budget() -> bool:
     over = time.perf_counter() - _T0 > _BUDGET_S
