@@ -188,3 +188,52 @@ def test_serial_reuse_chain(base_stream):
         tol = 0.0 if not accelerated else 2e-6
         for p in parts:
             assert np.abs(p - want).max() <= tol, accelerated
+
+
+def test_max_lacing_page(base_stream, tmp_path):
+    """A full 255x255 page (no terminating lacing value; body at the Ogg
+    address-quantum ceiling) continuing onto the next page — the libnogg
+    large-page analog. CRC, lacing walk, and packet assembly must span it."""
+    from vorbispizza_tpu.testing.pagecraft import make_max_lacing_page
+
+    data = make_max_lacing_page(base_stream)
+    # raw walk: one page must carry 255 lacing values, all 255 (body at
+    # the 65025-byte ceiling, no terminator)
+    off, found = 0, False
+    while off < len(data):
+        assert data[off : off + 4] == b"OggS"
+        nseg = data[off + 26]
+        lac = data[off + 27 : off + 27 + nseg]
+        if nseg == 255 and min(lac) == 255:
+            found = True
+        off += 27 + nseg + sum(lac)
+    assert found, "needs a full 255x255 page"
+    pages = _page_meta(data)
+    assert any(p.continues_packet for p in pages), "packet must continue"
+    check_vs_oracle(data, tmp_path, "max-lacing.ogg")
+
+
+def test_sample_rate_max(base_stream, tmp_path):
+    """Ident sample rate at the u32 maximum (libnogg sample-rate-max
+    analog): PCM is rate-independent, and ident parsing / duration math
+    must survive the unsigned extreme without overflow or sign flips."""
+    from vorbispizza_tpu.testing.pagecraft import make_sample_rate
+
+    rate = 2**32 - 1
+    data = make_sample_rate(base_stream, rate)
+    r = VorbisReader(data)
+    r.initialize()
+    assert r.sample_rate == rate
+    got = r.read_all(planar=True)
+    want = ours(base_stream)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    acc = ours(data, accelerated=True)
+    assert np.abs(acc - got).max() <= 2e-6
+    # duration math stays finite and non-negative at the extreme rate
+    assert r.total_samples == want.shape[1]
+    assert 0.0 <= r.total_samples / r.sample_rate < 1.0
+    # native libvorbis agrees on the PCM through the same file
+    nat = oracle(data, tmp_path, "sample-rate-max.ogg")
+    assert nat.shape == want.shape
+    assert (np.abs(s16(got) - s16(nat)) > 2).mean() == 0.0

@@ -243,6 +243,46 @@ def make_zero_length_packets(data: bytes, every: int = 4) -> bytes:
     return fr.finish()
 
 
+def make_max_lacing_page(data: bytes) -> bytes:
+    """A FULL Ogg page: 255 lacing values of 255 (body 65025 bytes, the
+    address-quantum ceiling) with no terminating lacing value, continued
+    on the next page (libnogg large-page analog). One mid-stream audio
+    packet is zero-padded past the page ceiling — the padding is never
+    read by any decoder (waste bits only)."""
+    headers, audio, serial = extract_packets(data)
+    mid = len(audio) // 2
+    big = audio[mid]
+    need = 255 * 255 + 1000
+    if len(big[0]) < need:
+        big = (big[0] + b"\x00" * (need - len(big[0])), big[1])
+    fr = _Framer(serial)
+    fr.add_packets(headers[:1], first_flags=0x02)
+    fr.add_packets(headers[1:])
+    if mid:
+        fr.add_packets(audio[:mid], body_cap=4096)
+    fr.add_packets([big], body_cap=255 * 255)
+    fr.add_packets(audio[mid + 1 :], body_cap=4096)
+    return fr.finish()
+
+
+def make_sample_rate(data: bytes, rate: int) -> bytes:
+    """Rewrite the ident header's sample-rate field (u32) and re-page:
+    the libnogg sample-rate-max vector analog (rate = 2^32-1). The rate is
+    informational for decode — PCM must be unchanged — but ident parsing,
+    stats bitrate math, and granule<->time conversion must survive the
+    unsigned extreme."""
+    headers, audio, serial = extract_packets(data)
+    ident = bytearray(headers[0][0])
+    # "\x01vorbis" (7) + version u32 (4) + channels u8 (1) -> rate at 12
+    ident[12:16] = struct.pack("<I", rate & 0xFFFFFFFF)
+    headers = [(bytes(ident), headers[0][1])] + headers[1:]
+    fr = _Framer(serial)
+    fr.add_packets(headers[:1], first_flags=0x02)
+    fr.add_packets(headers[1:])
+    fr.add_packets(audio, body_cap=4096)
+    return fr.finish()
+
+
 def make_serial_reuse_chain(data: bytes) -> bytes:
     """Chained file whose second chain REUSES the first chain's serial
     number — legal: EOS retires a serial, a later BOS may claim it again
