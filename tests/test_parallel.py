@@ -115,6 +115,35 @@ def test_sharded_corpus_matches_single_device(prod_corpus, output):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_corpus_mixed_setups():
+    """Cross-setup sharding: streams of three different setups group by
+    channel count, so each shard's merged sub-chunk may contain buckets of
+    several sids and _unify_buckets must line them up across shards.
+    Result == single-device, bit exact."""
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("not enough virtual devices")
+    corpus = [
+        encode_vorbis(
+            make_signal(2, 0.4, kind="music", seed=60 + s),
+            quality=(0.2, 0.5, 0.8)[s % 3],
+        )
+        for s in range(6)
+    ]
+    mesh = Mesh(np.array(devs[:4]), axis_names=("stream",))
+    sharded = decode_corpus_sharded(corpus, mesh, output="s16")
+    single = decode_corpus(corpus, output="s16")
+    for a, b in zip(sharded, single):
+        assert a.shape == b.shape
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_corpus_more_streams_than_devices(prod_corpus):
     """Streams partition over the mesh (LPT balance); empty shards legal."""
     from jax.sharding import Mesh
