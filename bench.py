@@ -80,13 +80,18 @@ RESULTS = {
 }
 
 _emitted = [False]
+_emit_lock = __import__("threading").Lock()
 
 
 def _emit_json() -> None:
-    """Print the one JSON line exactly once (normal end, atexit, signal)."""
-    if _emitted[0]:
-        return
-    _emitted[0] = True
+    """Print the one JSON line exactly once (normal end, atexit, signal,
+    watchdog thread). The lock makes the check-and-set atomic: the
+    watchdog thread and a late-returning main thread must not both pass
+    the _emitted check and print two lines."""
+    with _emit_lock:
+        if _emitted[0]:
+            return
+        _emitted[0] = True
     RESULTS["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(RESULTS), flush=True)
     try:

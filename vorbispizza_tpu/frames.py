@@ -24,6 +24,7 @@ exactly the reference's lapping semantics (StreamDecoder.cs:764).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field, replace
 
 import numpy as np
@@ -52,17 +53,26 @@ class BucketKey:
 
 
 _sid_counter = [0]
+_sid_lock = threading.Lock()
 
 
 def setup_sid(setup) -> int:
     """Small process-stable id for a parsed setup object. Byte-identical
     setup headers share one object (header.parse_setup_cached), so the id
-    is stable for as long as any bucket/synthesizer holds the setup."""
+    is stable for as long as any bucket/synthesizer holds the setup.
+
+    Locked: corpus front ends run on a thread pool and may race the first
+    stamp of a shared setup object — an unlocked double-increment would
+    either register the setup under a sid no bucket carries (KeyError at
+    dispatch) or let two setups collide on one sid (wrong-codebook PCM)."""
     sid = getattr(setup, "_vp_sid", None)
     if sid is None:
-        _sid_counter[0] += 1
-        sid = _sid_counter[0]
-        setup._vp_sid = sid
+        with _sid_lock:
+            sid = getattr(setup, "_vp_sid", None)
+            if sid is None:
+                _sid_counter[0] += 1
+                sid = _sid_counter[0]
+                setup._vp_sid = sid
     return sid
 
 

@@ -23,6 +23,8 @@ scalar decoder (decoder.py) is the behavioral anchor it is tested against.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +59,28 @@ def _pad_size(x: int, base: int = 64) -> int:
     return s
 
 
+class _LRUPrograms(OrderedDict):
+    """Bounded program cache: synthesizers live process-wide (one per
+    channel count, models/corpus.py), so an unbounded `_fns` would retain
+    every compiled fused program a heterogeneous workload ever produced.
+    Evicts least-recently-used; /tmp/jax_cache keeps the compiled binary,
+    so re-admission costs a trace + cache load, not a fresh compile."""
+
+    MAX = 64
+
+    def get(self, key, default=None):
+        v = super().get(key, default)
+        if key in self:
+            self.move_to_end(key)
+        return v
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.MAX:
+            self.popitem(last=False)
+
+
 class BatchSynthesizer:
     """Per-stream-setup device synthesis. Bucket functions are jitted once
     per (bucket key, padded frame count) and cached."""
@@ -69,7 +93,7 @@ class BatchSynthesizer:
         #: DIFFERENT setups in a merged cross-setup chunk
         self.setups: dict = {}
         self.add_setup(setup)
-        self._fns: dict = {}
+        self._fns: dict = _LRUPrograms()
         if use_pallas_ola is None:
             from ..config import VorbisConfig
 

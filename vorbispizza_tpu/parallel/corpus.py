@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..decoder import CLIP_MAX
 from ..frames import BucketBatch, FloorGroup, SymBucket
 
 __all__ = [
@@ -47,10 +48,8 @@ class ShardMismatch(Exception):
     per-device dispatch)."""
 
 
-def _bucket_order(b: BucketBatch):
-    return (
-        b.key.sid, b.key.mode_idx, bool(b.key.prev_flag), bool(b.key.next_flag)
-    )
+def _key_order(k):
+    return (k.sid, k.mode_idx, bool(k.prev_flag), bool(k.next_flag))
 
 
 def _empty_bucket(ref: BucketBatch) -> BucketBatch:
@@ -132,10 +131,7 @@ def _unify_buckets(merged):
     for _, bks, _ in merged:
         for b in bks:
             ref_by_key.setdefault(b.key, b)
-    keys = sorted(
-        ref_by_key,
-        key=lambda k: (k.sid, k.mode_idx, k.prev_flag, k.next_flag),
-    )
+    keys = sorted(ref_by_key, key=_key_order)
     blists = []
     for _, bks, _ in merged:
         by_key = {b.key: b for b in bks}
@@ -307,19 +303,34 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                 if not part:
                     continue
                 pcm = unpack_shard(np.asarray(out[k]), sig, channels, totals[k])
+                if pcm.dtype == np.float32:
+                    # match decode_corpus's default host f32 contract
+                    # (clip_samples=True) and this function's own scalar
+                    # fallback — one corpus, one clipping policy (the row
+                    # is a read-only device-backed view: clip out of place)
+                    pcm = np.clip(pcm, -CLIP_MAX, CLIP_MAX)
                 c = 0
                 for j, ln in zip(part, lens[k]):
                     outs[idxs[j]] = pcm[:, c : c + ln]
                     c += ln
-        except ShardMismatch:
+        except (ShardMismatch, BatchUnsupported):
+            # per-device dispatch; a stream the batch planner rejects at
+            # prepare time degrades further to the scalar decoder rather
+            # than aborting the whole corpus
             for k, part in enumerate(parts):
                 for j in part:
                     plan, buckets = fronts[idxs[j]][2:4]
                     dev0 = mesh.devices.flat[0]
-                    sig2, args2, total2 = synth.prepare(
-                        plan, buckets, fmt, device=dev0
-                    )
-                    res = synth.run(sig2, args2, total2)
+                    try:
+                        sig2, args2, total2 = synth.prepare(
+                            plan, buckets, fmt, device=dev0
+                        )
+                        res = synth.run(sig2, args2, total2)
+                    except BatchUnsupported:
+                        outs[idxs[j]] = _scalar_fallback(
+                            sources[idxs[j]], output, True
+                        )
+                        continue
                     if isinstance(res, tuple):
                         from ..ops.pcm_pack import pull_wire, unpack_pcm
 
@@ -329,5 +340,7 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                             data, wtab, channels, out_len
                         )[:, :total]
                     else:
-                        outs[idxs[j]] = np.asarray(res)
+                        pcm = np.array(res, dtype=np.float32)
+                        np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
+                        outs[idxs[j]] = pcm
     return outs
