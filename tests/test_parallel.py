@@ -173,3 +173,33 @@ def test_partition_indices_balance():
     # fewer items than shards -> empty shards, all indices covered
     parts2 = partition_indices([3, 2], 4)
     assert sorted(i for p in parts2 for i in p) == [0, 1]
+
+
+def test_sharded_corpus_batch_unsupported_degrades(prod_corpus, monkeypatch):
+    """A BatchUnsupported raised inside the sharded run (e.g. prepare-time
+    planner rejection) degrades per stream — first to per-device dispatch,
+    then to the scalar decoder — instead of aborting the corpus."""
+    from jax.sharding import Mesh
+
+    import vorbispizza_tpu.parallel.corpus as pc
+    from vorbispizza_tpu.frames import BatchUnsupported
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.models.pipeline import BatchSynthesizer
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(np.array(devs[:4]), axis_names=("stream",))
+
+    def boom(*a, **k):
+        raise BatchUnsupported("injected: planner rejects this chunk")
+
+    monkeypatch.setattr(pc, "sharded_chunk_run", boom)
+    # the per-device dispatch fallback must also degrade to scalar when
+    # prepare itself rejects the stream
+    monkeypatch.setattr(BatchSynthesizer, "prepare", boom)
+    sharded = pc.decode_corpus_sharded(prod_corpus, mesh, output="s16")
+    single = decode_corpus(prod_corpus, output="s16")
+    for a, b in zip(sharded, single):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
