@@ -245,3 +245,18 @@ def test_decode_corpus_s16_clipping_extremes():
     assert np.array_equal(outs["planes"], outs["raw"])
     # the signal actually clips (the rails are exercised)
     assert (np.abs(want.astype(np.int32)) >= 32767).any()
+
+
+def test_synth_program_cache_bounded_and_evicts_cleanly(small_corpus, monkeypatch):
+    """The process-wide synthesizer's program cache is a bounded LRU:
+    force eviction between two decodes of the same corpus and check the
+    re-admitted programs still produce identical PCM."""
+    from vorbispizza_tpu.models.pipeline import _LRUPrograms
+
+    monkeypatch.setattr(_LRUPrograms, "MAX", 2)
+    first = decode_corpus(small_corpus, output="s16")
+    # a second pass re-traces whatever was evicted (cache now holds at
+    # most 2 entries) — results must be unchanged
+    second = decode_corpus(small_corpus, output="s16")
+    for a, b in zip(first, second):
+        assert np.array_equal(a, b)

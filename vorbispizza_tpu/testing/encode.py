@@ -10,7 +10,6 @@ physical streams, quality extremes. Test/bench-support only.
 from __future__ import annotations
 
 import ctypes as C
-import struct
 
 import numpy as np
 
