@@ -55,8 +55,12 @@ def expand_assemble(flat, evs, L):
     return gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
 
 
-def block_assemble(flat, evs, L, W: int = PHASE_W):
+def block_assemble(flat, evs, L, W: int | None = None):
     """Phase-decomposed OLA assembly, bit-identical to expand_assemble.
+
+    ``W`` defaults to the module-level PHASE_W at CALL time (late-bound:
+    a sweep or deployment can retune ola.PHASE_W process-wide without
+    touching call sites; programs are retraced per W).
 
     Between host events (models/pipeline.py _build_events) the gather
     index advances exactly +1/sample and validity is constant, so every
@@ -92,6 +96,8 @@ def block_assemble(flat, evs, L, W: int = PHASE_W):
     evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays, sorted by ev_j;
     padding events carry j = L, whose columns >= L every scatter drops.
     """
+    if W is None:
+        W = PHASE_W
     ev_j, ev_da, ev_db, ev_va, ev_vb = evs
     C, Tf = flat.shape
     NB = L // W
