@@ -165,7 +165,7 @@ def measure_tunnel(jax, jnp):
     return h2d, d2h
 
 
-def _probe_backend(timeout_s: float = 300.0) -> bool:
+def _probe_backend(timeout_s: float = 120.0) -> bool:
     """Touch the accelerator from a SUBPROCESS with a hard timeout.
 
     A down tunnel wedges backend init inside a C call for tens of minutes
@@ -196,10 +196,31 @@ def _probe_backend(timeout_s: float = 300.0) -> bool:
         return True  # probe infrastructure failed: let the real init try
 
 
+#: keep re-probing a down chip this long before giving up: a chip that
+#: answers mid-window still gets its headline (warm-cache mandatory path
+#: is ~6-8 min; the hard alarm at _HARD_S bounds the worst case anyway)
+_PROBE_WINDOW_S = float(os.environ.get("VP_BENCH_PROBE_WINDOW_S", "600"))
+
+
+def _probe_backend_window() -> bool:
+    """Short 120 s probes in a loop until the chip answers or the probe
+    window closes. Replaces the round-3 single fixed 300 s probe: that
+    burned a third of the soft budget on a down-chip day AND missed a
+    chip that answered at +301 s (VERDICT r3 weak #4a)."""
+    while True:
+        if _probe_backend():
+            return True
+        elapsed = time.perf_counter() - _T0
+        if elapsed + 130.0 > _PROBE_WINDOW_S:
+            return False
+        _mark(f"probe failed at +{elapsed:.0f}s; re-probing")
+        time.sleep(10.0)
+
+
 def main() -> None:
     _install_guards()
     _mark("probing accelerator reachability (subprocess)")
-    if not _probe_backend():
+    if not _probe_backend_window():
         _mark("backend unreachable: emitting sentinel JSON early")
         RESULTS["backend"] = "unreachable"
         _emit_json()
@@ -238,6 +259,19 @@ def main() -> None:
     total_audio = n_streams * seconds
     RESULTS["corpus_streams"] = n_streams
     RESULTS["corpus_audio_seconds"] = round(total_audio, 1)
+
+    # 5.1 corpus: pure host work (libvorbisenc) — encode it HERE, before
+    # the first chip contact, so it doesn't sit between timed sections
+    # (VERDICT r3 #7)
+    _mark("encoding 5.1 corpus")
+    corpus51 = [
+        encode_vorbis(
+            make_signal(6, 10.0, rate=rate, kind="music", seed=100 + s),
+            rate=rate,
+            quality=0.4,
+        )
+        for s in range(4)
+    ]
 
     # ---- accuracy vs the float64 scalar anchor ---------------------------------
     # (mandatory; also the first chip contact, which can absorb minutes on
@@ -326,14 +360,6 @@ def main() -> None:
 
     # ---- 5.1 multichannel (Residue2 + coupling) ---------------------------------
     _mark("5.1 multichannel")
-    corpus51 = [
-        encode_vorbis(
-            make_signal(6, 10.0, rate=rate, kind="music", seed=100 + s),
-            rate=rate,
-            quality=0.4,
-        )
-        for s in range(4)
-    ]
     if not _over_budget():
         try:
             r51 = VorbisReader(corpus51[0])
@@ -487,12 +513,25 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             _mark(f"tunnel re-measure failed: {e!r}")
 
-    _emit_json()
-    assert max_err <= 1e-6, f"accuracy budget exceeded: {max_err}"
+    # Accuracy gates BEFORE the JSON goes out: a build that blows the
+    # anchor budget must not publish a harvestable RTF (advisor r3 #1).
+    # value=-3.0 is the "fast but wrong" sentinel, distinct from -2.0
+    # (section never ran).
     err51 = RESULTS["s16_err_5_1_lsb"]
-    assert err51 <= 1, f"5.1 s16 error: {err51}"  # 0 when section skipped
     pc = RESULTS["pallas_vs_gather_max_err"]
-    assert pc <= 0.0, f"Pallas OLA != gather OLA: {pc}"  # -1 when skipped
+    failures = []
+    if max_err > 1e-6:
+        failures.append(f"accuracy budget exceeded: {max_err}")
+    if err51 > 1:  # 0 when section skipped
+        failures.append(f"5.1 s16 error: {err51}")
+    if pc > 0.0:  # -1 when skipped
+        failures.append(f"Pallas OLA != gather OLA: {pc}")
+    if failures:
+        _mark("ACCURACY GATE FAILED: " + "; ".join(failures))
+        RESULTS["value"] = -3.0
+        RESULTS["vs_baseline"] = -0.003
+    _emit_json()
+    assert not failures, "; ".join(failures)
 
 
 if __name__ == "__main__":

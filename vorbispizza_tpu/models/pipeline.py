@@ -64,21 +64,32 @@ class _LRUPrograms(OrderedDict):
     channel count, models/corpus.py), so an unbounded `_fns` would retain
     every compiled fused program a heterogeneous workload ever produced.
     Evicts least-recently-used; /tmp/jax_cache keeps the compiled binary,
-    so re-admission costs a trace + cache load, not a fresh compile."""
+    so re-admission costs a trace + cache load, not a fresh compile.
+
+    get/__setitem__ take a lock: the process-wide synthesizer is reachable
+    from concurrent decode_corpus callers, and OrderedDict reorder/popitem
+    under concurrent mutation is not a documented-safe operation even
+    under the GIL (contention is negligible next to dispatch cost)."""
 
     MAX = 64
 
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._lock = __import__("threading").Lock()
+
     def get(self, key, default=None):
-        v = super().get(key, default)
-        if key in self:
-            self.move_to_end(key)
-        return v
+        with self._lock:
+            v = super().get(key, default)
+            if key in self:
+                self.move_to_end(key)
+            return v
 
     def __setitem__(self, key, value):
-        super().__setitem__(key, value)
-        self.move_to_end(key)
-        while len(self) > self.MAX:
-            self.popitem(last=False)
+        with self._lock:
+            super().__setitem__(key, value)
+            self.move_to_end(key)
+            while len(self) > self.MAX:
+                self.popitem(last=False)
 
 
 class BatchSynthesizer:
@@ -90,8 +101,14 @@ class BatchSynthesizer:
         self.channels = channels
         #: sid -> parsed setup: buckets name their setup via key.sid, so
         #: ONE synthesizer (and one fused program) can carry buckets from
-        #: DIFFERENT setups in a merged cross-setup chunk
-        self.setups: dict = {}
+        #: DIFFERENT setups in a merged cross-setup chunk. Bounded LRU
+        #: (advisor r3): a long-lived heterogeneous service must not
+        #: retain every setup (+ its _sym_layout/codebook arrays) ever
+        #: seen. Safe because every decode_corpus call re-registers its
+        #: setups up front (_synthesizer_for -> add_setup, and merge
+        #: registration at prepare), so a live sid is always fresher than
+        #: SETUPS_MAX older ones.
+        self.setups: OrderedDict = OrderedDict()
         self.add_setup(setup)
         self._fns: dict = _LRUPrograms()
         if use_pallas_ola is None:
@@ -106,12 +123,18 @@ class BatchSynthesizer:
 
     # -- one bucket: [F, C, half] tensors -> [F, C, n] windowed frames ----------
 
+    #: retention bound for registered setups (LRU evicted beyond this)
+    SETUPS_MAX = 128
+
     def add_setup(self, setup) -> None:
         """Register a setup so its buckets (key.sid) resolve; merged
         cross-setup chunks register every member stream's setup."""
         from ..frames import setup_sid
 
         self.setups[setup_sid(setup)] = setup
+        self.setups.move_to_end(setup_sid(setup))
+        while len(self.setups) > self.SETUPS_MAX:
+            self.setups.popitem(last=False)
 
     def _setup_for(self, key):
         s = self.setups.get(key.sid)
@@ -119,6 +142,7 @@ class BatchSynthesizer:
             if key.sid == 0:  # hand-built test buckets (no extract stamp)
                 return self.setup
             raise KeyError(f"setup sid {key.sid} not registered")
+        self.setups.move_to_end(key.sid)
         return s
 
     def _bucket_static(self, key):

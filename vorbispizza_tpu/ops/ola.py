@@ -98,6 +98,11 @@ def block_assemble(flat, evs, L, W: int | None = None):
     """
     if W is None:
         W = PHASE_W
+    # the >>log2(W) / &(W-1) row-phase arithmetic below REQUIRES a
+    # power-of-two W that divides L; PHASE_W is process-wide retunable,
+    # so fail loudly instead of producing silently wrong PCM
+    assert W > 0 and (W & (W - 1)) == 0, f"PHASE_W must be a power of two, got {W}"
+    assert L % W == 0, f"L={L} not a multiple of PHASE_W={W}"
     ev_j, ev_da, ev_db, ev_va, ev_vb = evs
     C, Tf = flat.shape
     NB = L // W
