@@ -115,6 +115,29 @@ def test_sharded_corpus_matches_single_device(prod_corpus, output):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_corpus_device_tier(prod_corpus):
+    """output="device": per-stream PCM stays in HBM (jax arrays, no host
+    pull), equal to the single-device device-resident tier — the TPU-native
+    deployment shape, multi-chip (VERDICT r3 #6)."""
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(np.array(devs[:4]), axis_names=("stream",))
+    sharded = decode_corpus_sharded(prod_corpus, mesh, output="device")
+    single = decode_corpus(prod_corpus, output="device")
+    assert len(sharded) == len(single)
+    for a, b in zip(sharded, single):
+        assert isinstance(a, jax.Array)  # stayed on device
+        assert a.shape == b.shape
+        assert a.dtype == jnp.float32
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_corpus_mixed_setups():
     """Cross-setup sharding: streams of three different setups group by
     channel count, so each shard's merged sub-chunk may contain buckets of

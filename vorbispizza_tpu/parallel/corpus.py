@@ -259,7 +259,23 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
     devices (balanced by frame count), and runs ONE shard_map program per
     group. Falls back per stream to the scalar decoder for shapes the batch
     planner rejects, and per group to single-device dispatch on
-    ShardMismatch. Returns host PCM arrays in input order."""
+    ShardMismatch. Returns PCM arrays in input order.
+
+    ``output``:
+      "s16"    — host int16 [C, samples] (dpack wire, device quantize)
+      "f32"    — host float32 [C, samples], clipped
+      "device" — per-stream jax f32 views into each shard's HBM-resident
+                 output (the TPU-native deployment shape, matching
+                 single-device decode_corpus(output="device"): PCM stays
+                 on the device that decoded it for downstream consumers —
+                 feature extraction, ASR, ...). Unclipped, like the
+                 single-device tier.
+
+    Degradation note: a stream the batch planner rejects falls back to the
+    float64 scalar decoder, whose s16 quantization can differ from the
+    device-f32 batch path by ±1 LSB — a partially-degraded corpus is
+    correct but not bit-stable across runs that degrade differently
+    (tests/test_parallel.py pins the ≤1 LSB bound)."""
     from ..frames import BatchUnsupported
     from ..models.corpus import (
         _front_end,
@@ -299,6 +315,18 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
             sig, out, totals, lens, _wb = sharded_chunk_run(
                 synth, shard_items, mesh, fmt
             )
+            if output == "device":
+                # keep PCM in HBM: out[k] is shard k's [C, padded] row on
+                # its own device; per-stream results are device slices
+                for k, part in enumerate(parts):
+                    if not part:
+                        continue
+                    row = out[k][..., : totals[k]]
+                    c = 0
+                    for j, ln in zip(part, lens[k]):
+                        outs[idxs[j]] = row[:, c : c + ln]
+                        c += ln
+                continue
             for k, part in enumerate(parts):
                 if not part:
                     continue
@@ -331,7 +359,10 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                             sources[idxs[j]], output, True
                         )
                         continue
-                    if isinstance(res, tuple):
+                    if output == "device":
+                        # run() already sliced to [C, total]; keep in HBM
+                        outs[idxs[j]] = res
+                    elif isinstance(res, tuple):
                         from ..ops.pcm_pack import pull_wire, unpack_pcm
 
                         _, buf, nbt, out_len, total = res[:5]
