@@ -8,9 +8,11 @@ import pytest
 from vorbispizza_tpu.reader import VorbisReader
 from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
 from vorbispizza_tpu.testing.pagecraft import (
+    corrupt_interior_continuation,
     make_bad_continued_flag,
     make_empty_page,
     make_long_first_packet,
+    make_multipage_continued,
     make_partial_granule,
     _reframe,
 )
@@ -211,6 +213,81 @@ def test_max_lacing_page(base_stream, tmp_path):
     pages = _page_meta(data)
     assert any(p.continues_packet for p in pages), "packet must continue"
     check_vs_oracle(data, tmp_path, "max-lacing.ogg")
+
+
+def test_multipage_continued_packet(base_stream, tmp_path):
+    """A packet continued across >2 pages: interior pages are pure
+    continuation (open AND close mid-packet) — geometry a 2-page span
+    never produces. Must decode bit-equal to libvorbis (reference
+    continuation assembly: Ogg/PacketProvider.cs, OggTests.cs:9-92)."""
+    data = make_multipage_continued(base_stream)
+    pages = _page_meta(data)
+    interior = [
+        p for p in pages if p.continues_packet and p.last_incomplete
+    ]
+    assert len(interior) >= 2, "packet must span more than two pages"
+    check_vs_oracle(data, tmp_path, "multipage-continued.ogg")
+
+
+def test_resync_inside_continuation(base_stream, tmp_path):
+    """CRC failure on an INTERIOR page of a >2-page continued packet: the
+    packet can never complete, so the decoder drops the partial data,
+    resyncs on the next page boundary, and keeps decoding — like
+    libvorbis. Parity assertions are structural, because libvorbisfile
+    re-derives post-hole PCM offsets from page granules and lands on a
+    slightly different total (cf. test_zero_length_packets): (a) both
+    decoders' outputs diverge from the healthy stream at the SAME first
+    sample (the hole), (b) after resync the final 16k samples agree at
+    f32 precision (both re-anchor the end to the final page granule)."""
+    healthy = make_multipage_continued(base_stream)
+    bad = corrupt_interior_continuation(healthy)
+    assert bad != healthy and len(bad) == len(healthy)
+    want = ours(healthy)
+    got = ours(bad)
+    nat = oracle(bad, tmp_path, "continued-resync.ogg")
+    # (a) same first divergence from healthy in both decoders
+    m = min(want.shape[1], got.shape[1], nat.shape[1])
+    # s16 domain: ours is the f64 anchor, the oracle is f32 — raw floats
+    # differ benignly at ~1e-7 everywhere; the hole diverges at ~1e-1
+    ours_diff = np.nonzero(
+        np.abs(s16(want[:, :m]) - s16(got[:, :m])).max(0) > 2
+    )[0]
+    nat_diff = np.nonzero(
+        np.abs(s16(want[:, :m]) - s16(nat[:, :m])).max(0) > 2
+    )[0]
+    assert len(ours_diff) and len(nat_diff), "corruption must be audible"
+    # ±2: the exact first >2-LSB sample wobbles with s16 rounding at the
+    # divergence boundary
+    assert abs(int(ours_diff[0]) - int(nat_diff[0])) <= 2, (
+        "hole must start at the same sample",
+        int(ours_diff[0]),
+        int(nat_diff[0]),
+    )
+    assert ours_diff[0] > 16384, "prefix before the hole must be intact"
+    # (b) tail parity after resync
+    K = 16384
+    tail = np.abs(s16(got[:, -K:]) - s16(nat[:, -K:]))
+    assert (tail > 2).mean() == 0.0, "post-resync tail must match libvorbis"
+    # scalar and accelerated paths must agree on the damaged stream too
+    acc = ours(bad, accelerated=True)
+    assert acc.shape == got.shape
+    assert np.abs(acc - got).max() <= 2e-6
+
+
+def test_multipage_continued_truncation_fuzz(base_stream):
+    """Truncating the multi-page-continued vector anywhere — including
+    mid-continuation — must never crash either decode path."""
+    data = make_multipage_continued(base_stream)
+    for frac in (0.35, 0.5, 0.6, 0.66, 0.72, 0.85, 0.97):
+        cut = data[: int(len(data) * frac)]
+        for accelerated in (False, True):
+            r = VorbisReader(cut, accelerated=accelerated)
+            try:
+                r.initialize()
+            except Exception:
+                continue  # headers truncated: a clean refusal is fine
+            pcm = r.read_all(planar=True)
+            assert pcm.shape[0] == 2
 
 
 def test_sample_rate_max(base_stream, tmp_path):

@@ -86,6 +86,50 @@ def test_multiplexed_streams(tmp_path):
     np.testing.assert_array_equal(m2, gb)
 
 
+def test_multiplexed_floor0_and_5_1():
+    """Grouped multiplexing whose interleaved logical streams include a
+    FLOOR0 stream (hand-built LSP setup, testing/rawstream.py) and a 5.1
+    stream (polar coupling + Residue2): the two hardest setup families
+    sharing one physical stream (VERDICT r3 #8). Each logical stream must
+    decode identically to its unmultiplexed original — floor0's solo
+    oracle parity is pinned by test_rawstream, the 5.1 solo by
+    test_multichannel_51, so original-equality here transfers those
+    budgets to the multiplexed container."""
+    from vorbispizza_tpu.testing.rawstream import make_floor0_stream
+
+    f0 = make_floor0_stream(n_packets=24)  # serial 777
+    s51 = encode_vorbis(
+        make_signal(6, 0.4, kind="music", seed=9), quality=0.3, serial=333
+    )
+    muxed = multiplex_streams(f0, s51)
+    # ground truth: each logical stream decoded alone
+    r0 = VorbisReader(f0); r0.initialize(); g0 = r0.read_all(planar=True)
+    r5 = VorbisReader(s51); r5.initialize(); g5 = r5.read_all(planar=True)
+    r = VorbisReader(io.BytesIO(muxed))
+    r.initialize()
+    r.find_next_stream()
+    assert [s._provider.serial for s in r.streams] == [777, 333]
+    assert [s.channels for s in r.streams] == [1, 6]
+    m0 = r.read_all(planar=True)
+    r.switch_streams(1)
+    m5 = r.read_all(planar=True)
+    np.testing.assert_array_equal(m0, g0)
+    np.testing.assert_array_equal(m5, g5)
+    # truncation fuzz: cutting the interleaved container anywhere must
+    # never crash; readable prefixes of both streams still decode
+    for frac in (0.3, 0.55, 0.8, 0.95):
+        cut = muxed[: int(len(muxed) * frac)]
+        rt = VorbisReader(io.BytesIO(cut))
+        try:
+            rt.initialize()
+        except Exception:
+            continue  # truncated inside headers: clean refusal
+        rt.find_next_stream()
+        for k in range(rt.streams_count):
+            rt.switch_streams(k)
+            rt.read_all(planar=True)
+
+
 def test_new_stream_veto():
     a = encode_vorbis(make_signal(1, 0.2, kind="sine"), serial=5)
     b = encode_vorbis(make_signal(1, 0.2, kind="sine", seed=1), serial=6)

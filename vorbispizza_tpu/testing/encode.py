@@ -199,9 +199,10 @@ def chain_streams(*streams: bytes) -> bytes:
     return b"".join(streams)
 
 
-def multiplex_streams(a: bytes, b: bytes) -> bytes:
-    """Interleave the pages of two logical streams into one physical stream
-    (grouped multiplexing: all BOS pages first, per Ogg spec)."""
+def multiplex_streams(*streams: bytes) -> bytes:
+    """Interleave the pages of two or more logical streams into one
+    physical stream (grouped multiplexing: all BOS pages first, per Ogg
+    spec), round-robin page order."""
     from ..ogg.page import PageScanner
     import io
 
@@ -212,15 +213,13 @@ def multiplex_streams(a: bytes, b: bytes) -> bytes:
             out.append(data[p.offset : p.offset + p.page_size])
         return out
 
-    pa, pb = pages(a), pages(b)
-    out = [pa[0], pb[0]]  # both BOS pages first
-    ia, ib = 1, 1
-    while ia < len(pa) or ib < len(pb):
-        # alternate, draining whichever remains
-        if ia < len(pa):
-            out.append(pa[ia])
-            ia += 1
-        if ib < len(pb):
-            out.append(pb[ib])
-            ib += 1
+    plists = [pages(s) for s in streams]
+    out = [pl[0] for pl in plists]  # all BOS pages first
+    idx = [1] * len(plists)
+    while any(i < len(pl) for i, pl in zip(idx, plists)):
+        for k, pl in enumerate(plists):
+            # alternate, draining whichever remains
+            if idx[k] < len(pl):
+                out.append(pl[idx[k]])
+                idx[k] += 1
     return b"".join(out)

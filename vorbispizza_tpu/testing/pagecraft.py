@@ -265,6 +265,63 @@ def make_max_lacing_page(data: bytes) -> bytes:
     return fr.finish()
 
 
+def make_multipage_continued(data: bytes, span_pages: int = 4) -> bytes:
+    """A mid-stream audio packet continued across MORE than two pages
+    (``span_pages`` small pages): zero-padded to spanning size — padding
+    is never read by a decoder (waste bits only). The >2-page shape
+    matters because the continuation chain has interior pages that are
+    pure continuation (flag 0x01 at both ends), the geometry a 2-page
+    span never produces (reference Ogg continuation assembly:
+    NVorbis/Ogg/PacketProvider.cs; OggTests.cs:9-92)."""
+    headers, audio, serial = extract_packets(data)
+    mid = len(audio) // 2
+    big = audio[mid]
+    cap = 2048
+    need = cap * span_pages + 500
+    if len(big[0]) < need:
+        big = (big[0] + b"\x00" * (need - len(big[0])), big[1])
+    fr = _Framer(serial)
+    fr.add_packets(headers[:1], first_flags=0x02)
+    fr.add_packets(headers[1:])
+    if mid:
+        fr.add_packets(audio[:mid], body_cap=4096)
+    fr.add_packets([big], body_cap=cap)
+    fr.add_packets(audio[mid + 1 :], body_cap=4096)
+    return fr.finish()
+
+
+def corrupt_interior_continuation(data: bytes, which: int = 1) -> bytes:
+    """Flip one body byte of an INTERIOR page of the longest continuation
+    run — a resync inside a multi-page continued packet. The damaged page
+    fails CRC and is skipped; the packet it carried can never complete, so
+    the decoder must drop the partial data, resync on the next page
+    boundary, and keep decoding (libvorbis reports a hole and continues).
+    ``which`` indexes into the run's continuation pages (1 = second page
+    of the packet, i.e. not the final one for runs of length >= 2)."""
+    import io
+
+    from ..ogg.page import PageScanner
+
+    sc = PageScanner(io.BytesIO(data))
+    pages = []
+    while (p := sc.next_page()) is not None:
+        pages.append(p)
+    # continuation runs: consecutive pages with the continued-packet flag
+    runs: list[list[int]] = []
+    for i, p in enumerate(pages):
+        if p.continues_packet:
+            if runs and runs[-1][-1] == i - 1:
+                runs[-1].append(i)
+            else:
+                runs.append([i])
+    best = max(runs, key=len)
+    assert len(best) >= 2, "need a >2-page continued packet to corrupt"
+    target = pages[best[min(which, len(best) - 2)]]
+    out = bytearray(data)
+    out[target.offset + target.page_size - 1] ^= 0xFF  # last body byte
+    return bytes(out)
+
+
 def make_sample_rate(data: bytes, rate: int) -> bytes:
     """Rewrite the ident header's sample-rate field (u32) and re-page:
     the libnogg sample-rate-max vector analog (rate = 2^32-1). The rate is
