@@ -86,12 +86,22 @@ def _selection_matrix():
     return _sel_cache[0]
 
 
-def pack_pcm(q: jnp.ndarray):
-    """Device-side pack: q int32 [C, L] (s16-range) ->
-    (packed u8 [C*NB*4*WORDS[-1]], nbytes int32, widx u8 [C*NB]).
+def select_candidate(q: jnp.ndarray):
+    """Stage 1 of pack_pcm: per-block candidate choice, narrowest wins
+    (ties to the earlier, cheaper-to-reconstruct candidate):
+      d2      second difference (baseline; always fits 18 bits)
+      d3      third difference (~23% fewer bytes on smooth music)
+      i2, i3  inter-channel: dk(ch) - dk(pair partner) — stereo content
+      is usually correlated, and diff-space decorrelation needs no
+      sample-space stitching (the accumulator chain still tracks ch).
+    Candidates whose zigzag exceeds WIDTHS[-1] bits are forced out (d2
+    always fits, so a winner always exists). Channels pair (0,1),(2,3)…;
+    even channels and a trailing odd channel have no inter candidates.
+    Flag bits in the width byte: 5 = third difference, 6 = inter.
 
-    Only the first ``nbytes`` of ``packed`` are meaningful; blocks are laid
-    out back-to-back in (channel, block) order."""
+    Returns (blk u32 [NBt, BLOCK] zigzagged winner, widx i32 [NBt],
+    blk_flags i32 [NBt]). Module-level so tools/ablate.py can snap the
+    candidate search out (d2-only) and attribute its exec cost."""
     C, L = q.shape
     NB = -(-L // BLOCK)
     pad = NB * BLOCK - L
@@ -111,17 +121,6 @@ def pack_pcm(q: jnp.ndarray):
             wi = wi + (maxz > ((1 << w) - 1)).astype(jnp.int32)
         return wi
 
-    # Per-block candidate choice, narrowest wins (ties to the earlier,
-    # cheaper-to-reconstruct candidate):
-    #   d2      second difference (baseline; always fits 18 bits)
-    #   d3      third difference (~23% fewer bytes on smooth music)
-    #   i2, i3  inter-channel: dk(ch) - dk(pair partner) — stereo content
-    #   is usually correlated, and diff-space decorrelation needs no
-    #   sample-space stitching (the accumulator chain still tracks ch).
-    # Candidates whose zigzag exceeds WIDTHS[-1] bits are forced out (d2
-    # always fits, so a winner always exists). Channels pair (0,1),(2,3)…;
-    # even channels and a trailing odd channel have no inter candidates.
-    # Flag bits in the width byte: 5 = third difference, 6 = inter.
     NBt = C * NB
     cands = [zig_blocks(d2), zig_blocks(d3)]
     flags = [0, 1 << 5]
@@ -153,26 +152,39 @@ def pack_pcm(q: jnp.ndarray):
         blk = jnp.where((best == k)[:, None], cands[k], blk)
     flag_tbl = jnp.asarray(np.asarray(flags, dtype=np.int32))
     blk_flags = jnp.take(flag_tbl, best)
+    return blk, widx, blk_flags
 
-    # every width's byte stream in ONE MXU matmul over bit-planes: byte j
-    # of width w sums 2^k * bit (8j+k)%w of sample (8j+k)//w — a static
-    # 0/1-weighted selection matrix. All values are integers <= 255, exact
-    # in bf16 with f32 MXU accumulation. Measured 49 ms vs 82 ms for the
-    # 18-candidate VPU loop at corpus-chunk scale.
-    M_bf, sel_offs = _selection_matrix()
+
+def bytes_matmul(blk: jnp.ndarray):
+    """Stage 2 of pack_pcm: every width's byte stream in ONE MXU matmul
+    over bit-planes: byte j of width w sums 2^k * bit (8j+k)%w of sample
+    (8j+k)//w — a static 0/1-weighted selection matrix. All values are
+    integers <= 255, exact in bf16 with f32 MXU accumulation. Measured
+    49 ms vs 82 ms for the 18-candidate VPU loop at corpus-chunk scale.
+
+    blk u32 [NBt, BLOCK] -> allbytes u8 [NBt, sum(16*w)]. Module-level
+    for tools/ablate.py stage attribution."""
+    NBt = blk.shape[0]
+    M_bf, _ = _selection_matrix()
     # bit-plane-major expansion [NBt, MAX_W, BLOCK]: the sample axis stays
     # the minor (lane) axis, so the reshape to the matmul operand is free
     bits = (
         (blk[:, None, :] >> jnp.arange(MAX_W, dtype=jnp.uint32)[None, :, None])
         & 1
     ).astype(jnp.bfloat16).reshape(NBt, MAX_W * BLOCK)
-    allbytes = jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
-    # compaction at 16-BYTE granularity DIRECTLY from the per-width byte
-    # streams: every width's bytes sit at a static 16-aligned column
-    # offset in allbytes (16*w bytes at sel_offs[w-1]), so the output
-    # gather indexes (block, width_base + group) straight into the matmul
-    # result — no intermediate select/pad pass materializing 18 masked
-    # copies of every block
+    return jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
+
+
+def compact(allbytes: jnp.ndarray, widx: jnp.ndarray):
+    """Stage 3 of pack_pcm: compaction at 16-BYTE granularity DIRECTLY
+    from the per-width byte streams: every width's bytes sit at a static
+    16-aligned column offset in allbytes (16*w bytes at sel_offs[w-1]),
+    so the output gather indexes (block, width_base + group) straight
+    into the matmul result — no intermediate select/pad pass
+    materializing 18 masked copies of every block. Module-level for
+    tools/ablate.py stage attribution."""
+    NBt = allbytes.shape[0]
+    _, sel_offs = _selection_matrix()
     G_PER = 4 * WORDS[-1] // 16  # groups in a max-width block
     a16 = allbytes.reshape(NBt, int(sel_offs[-1]) // 16, 16)
     gbase_np = np.zeros(len(WIDTHS), dtype=np.int32)
@@ -195,9 +207,23 @@ def pack_pcm(q: jnp.ndarray):
     gib = jnp.arange(cap_groups, dtype=jnp.int32) - jnp.take(goff, blk_of)
     gib = jnp.clip(gib, 0, G_PER - 1)
     packed = a16[blk_of, jnp.take(gbase, blk_of) + gib].reshape(-1)
+    return packed, (total_groups * 16).astype(jnp.int32)
+
+
+def pack_pcm(q: jnp.ndarray):
+    """Device-side pack: q int32 [C, L] (s16-range) ->
+    (packed u8 [C*NB*4*WORDS[-1]], nbytes int32, widx u8 [C*NB]).
+
+    Only the first ``nbytes`` of ``packed`` are meaningful; blocks are laid
+    out back-to-back in (channel, block) order. Three stages — candidate
+    selection, bit-plane byte matmul, group compaction — live as
+    module-level functions so the on-chip ablation can attribute them."""
+    blk, widx, blk_flags = select_candidate(q)
+    allbytes = bytes_matmul(blk)
+    packed, nbytes = compact(allbytes, widx)
     # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
     wout = (widx | blk_flags).astype(jnp.uint8)
-    return packed, (total_groups * 16).astype(jnp.int32), wout
+    return packed, nbytes, wout
 
 
 #: page sizes for sized pulls: a few big pages + one small tail page keeps

@@ -67,10 +67,49 @@ def run_ablation(
     plan, buckets, lens = merge_streams([f[2:4] for f in fronts])
     audio_s = sum(lens) / rate
 
+    from ..ops import pcm_pack as pp
+
     def slice_ola(flat, evs, L, W=8):
         # stand-in with the right shape; the event arrays go dead and XLA
         # DCEs the whole block-index expansion with them
         return jnp.pad(flat, ((0, 0), (0, L)))[:, :L]
+
+    # -- pack sub-stage stand-ins (attribute pack's 50 ms internally) -----
+
+    def d2_only_select(q):
+        # d2 candidate only: the d3/inter candidate search (3 extra diff+
+        # zigzag+max passes and the where-accumulation select) goes dead
+        C, L = q.shape
+        NB = -(-L // pp.BLOCK)
+        pad = NB * pp.BLOCK - L
+        d1 = jnp.diff(q, axis=1, prepend=jnp.zeros((C, 1), q.dtype))
+        d2 = jnp.diff(d1, axis=1, prepend=jnp.zeros((C, 1), d1.dtype))
+        z = ((d2 << 1) ^ (d2 >> 31)).astype(jnp.uint32)
+        if pad:
+            z = jnp.pad(z, ((0, 0), (0, pad)))
+        blk = z.reshape(C * NB, pp.BLOCK)
+        m = blk.max(axis=1)
+        wi = jnp.zeros(m.shape[0], dtype=jnp.int32)
+        for w in pp.WIDTHS[:-1]:
+            wi = wi + (m > ((1 << w) - 1)).astype(jnp.int32)
+        return blk, wi, jnp.zeros_like(wi)
+
+    def zero_mm(blk):
+        # bit expansion + selection matmul go dead (zeros uses only the
+        # static shape); widx and compaction stay live
+        _, offs = pp._selection_matrix()
+        return jnp.zeros((blk.shape[0], int(offs[-1])), jnp.uint8)
+
+    def no_gather_compact(allbytes, widx):
+        # static slice instead of the (block, group) gather; nbytes math
+        # (take+cumsum over widx) stays live so only the gather is removed
+        groups_tbl = jnp.asarray(
+            np.asarray([4 * wd // 16 for wd in pp.WORDS], dtype=np.int32)
+        )
+        gpb = jnp.take(groups_tbl, widx)
+        G_PER = 4 * pp.WORDS[-1] // 16
+        packed = allbytes[:, : G_PER * 16].reshape(-1)
+        return packed, (jnp.sum(gpb) * 16).astype(jnp.int32)
 
     def flat_synth(self, key, residues, prime, final, floor_inputs, metas):
         return jnp.concatenate([residues, residues], axis=-1)
@@ -86,6 +125,9 @@ def run_ablation(
         ("full_s16d", "s16d", {}),
         ("no_pack(s16)", "s16", {}),
         ("no_quant(f32)", "f32", {}),
+        ("pack_d2_only", "s16d", {(pp, "select_candidate"): d2_only_select}),
+        ("pack_no_mm", "s16d", {(pp, "bytes_matmul"): zero_mm}),
+        ("pack_no_gather", "s16d", {(pp, "compact"): no_gather_compact}),
         ("no_ola", "s16d", {(pl, "block_assemble"): slice_ola}),
         ("no_synth_math", "s16d", {(BatchSynthesizer, "_synth_math"): flat_synth}),
         ("no_res_expand", "s16d", {(pl, "expand_submap"): zero_expand}),

@@ -3,7 +3,8 @@ per-hop kernel vs the block path on its one eligible shape (cut-free,
 128-aligned uniform-blocksize streams) — the data for VERDICT r2 item 5
 (keep or delete the Pallas OLA).
 
-Usage: python -m vorbispizza_tpu.tools.olasweep [n_files] [secs]
+Usage: python -m vorbispizza_tpu.tools.olasweep [n_files] [secs] [channels]
+(channels=6 sweeps the 5.1 lane-fill case — VERDICT r3 #3)
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def _time_exec(synth, plan, buckets, output, reps=5):
     return (time.perf_counter() - t0) / reps, compile_s
 
 
-def run_sweep(n_files: int = 8, secs: float = 15.0):
+def run_sweep(n_files: int = 8, secs: float = 15.0, channels: int = 2):
     from ..models import pipeline as pl
     from ..models.corpus import _front_end, merge_streams
     from ..models.pipeline import BatchSynthesizer
@@ -41,7 +42,7 @@ def run_sweep(n_files: int = 8, secs: float = 15.0):
     rate = 44100
     corpus = [
         encode_vorbis(
-            make_signal(2, secs, rate=rate, kind="music", seed=s),
+            make_signal(channels, secs, rate=rate, kind="music", seed=s),
             rate=rate,
             quality=0.4,
         )
@@ -53,7 +54,7 @@ def run_sweep(n_files: int = 8, secs: float = 15.0):
     audio_s = sum(lens) / rate
 
     ref = None
-    for W in (8, 32, 64, 128):
+    for W in (8, 16, 32, 64, 128):
         def wth(flat, evs, L, _W=W):
             return ola.block_assemble(flat, evs, L, W=_W)
 
@@ -76,6 +77,8 @@ def run_sweep(n_files: int = 8, secs: float = 15.0):
             pl.block_assemble = saved
 
     # ---- Pallas kernel vs block path on its eligible (aligned) shape ----
+    if channels != 2:
+        return  # the Pallas-vs-block rawstream shapes are stereo-only
     from ..testing.rawstream import make_extreme_blocksize_stream
 
     for pattern in ("long", "short"):
@@ -100,4 +103,5 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
-    run_sweep(n, s)
+    ch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    run_sweep(n, s, ch)
