@@ -290,6 +290,34 @@ def test_multipage_continued_truncation_fuzz(base_stream):
             assert pcm.shape[0] == 2
 
 
+def test_multipage_setup_header(base_stream, tmp_path):
+    """Setup header spanning ~16 tiny pages (large-codebook shape): header
+    continuation assembly is page-count-agnostic, PCM bit-equal."""
+    from vorbispizza_tpu.testing.pagecraft import make_multipage_setup_header
+
+    data = make_multipage_setup_header(base_stream)
+    pages = _page_meta(data)
+    # many continuation pages before the first audio page
+    n_header_cont = sum(1 for p in pages[:20] if p.continues_packet)
+    assert n_header_cont >= 10, "setup must span many pages"
+    check_vs_oracle(data, tmp_path, "multipage-setup.ogg")
+    # corrupting an interior header continuation page must yield a clean
+    # refusal (no Vorbis stream), not a crash or garbage decode — the same
+    # failure mode libvorbis exhibits (ov_fopen error)
+    from vorbispizza_tpu.errors import InvalidDataError
+
+    bad = corrupt_interior_continuation(data)
+    r = VorbisReader(bad)
+    try:
+        r.initialize()
+    except InvalidDataError:
+        pass  # clean refusal
+    else:
+        # some corruption positions only damage the COMMENT packet;
+        # decode must then still work and match the oracle
+        check_vs_oracle(bad, tmp_path, "multipage-setup-bad.ogg")
+
+
 def test_sample_rate_max(base_stream, tmp_path):
     """Ident sample rate at the u32 maximum (libnogg sample-rate-max
     analog): PCM is rate-independent, and ident parsing / duration math

@@ -90,8 +90,9 @@ def block_assemble(flat, evs, L, W: int | None = None):
     3.7x SLOWER than even expand_assemble (310 ms vs 82 ms per 120 s
     chunk): XLA lowers unaligned lane-dim slice gathers to per-slice code,
     and Mosaic cannot DMA dynamically-unaligned lane slices either (the
-    same reason the retired Pallas hop kernel was gated to 128-aligned
-    hops).
+    same reason the Pallas hop kernel — gated to 128-aligned cut-free
+    plans, keep-or-delete pending the on-chip W sweep — cannot serve
+    these shapes).
 
     evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays, sorted by ev_j;
     padding events carry j = L, whose columns >= L every scatter drops.

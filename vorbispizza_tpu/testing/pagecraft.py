@@ -322,6 +322,20 @@ def corrupt_interior_continuation(data: bytes, which: int = 1) -> bytes:
     return bytes(out)
 
 
+def make_multipage_setup_header(data: bytes) -> bytes:
+    """Comment + setup headers re-framed over many tiny pages (255-byte
+    body cap): a ~4 KB setup packet spans ~16 pages — the shape real
+    encoders produce with large codebooks. Header continuation assembly
+    must be page-count-agnostic (reference: header packets flow through
+    the same PacketProvider continuation path as audio)."""
+    headers, audio, serial = extract_packets(data)
+    fr = _Framer(serial)
+    fr.add_packets(headers[:1], first_flags=0x02)
+    fr.add_packets(headers[1:], body_cap=255)
+    fr.add_packets(audio, body_cap=4096)
+    return fr.finish()
+
+
 def make_sample_rate(data: bytes, rate: int) -> bytes:
     """Rewrite the ident header's sample-rate field (u32) and re-page:
     the libnogg sample-rate-max vector analog (rate = 2^32-1). The rate is
