@@ -70,7 +70,6 @@ RESULTS = {
     "tunnel_d2h_mbps": -2.0,
     "tunnel_ceiling_rtf": -2.0,
     "fraction_of_ceiling": -2.0,
-    "pallas_vs_gather_max_err": -1.0,
     "max_abs_err_vs_anchor": -2.0,
     "s16_err_5_1_lsb": 0,
     "corpus_streams": 0,
@@ -461,40 +460,6 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             _mark(f"chained section failed: {e!r}")
 
-    # ---- Pallas OLA vs gather path under Mosaic (hop-class coverage) ------------
-    # Current Mosaic only accepts 128-aligned DMA hop geometry, so the
-    # Pallas kernel serves uniform-blocksize streams; mixed-blocksize (and
-    # all granule-trimmed) plans route through the fused gather path. Both
-    # engagement modes are checked here on the real chip: the aligned class
-    # must compile under Mosaic and match the gather path bit-exactly.
-    _mark("pallas vs gather check")
-    if jax.default_backend() == "tpu" and not _over_budget():
-        try:
-            from vorbispizza_tpu.testing.rawstream import (
-                make_extreme_blocksize_stream,
-            )
-
-            saved = VorbisConfig.default.use_pallas_ola
-            try:
-                pallas_check = 0.0
-                for pattern in ("long", "short", "alternate"):
-                    ext = make_extreme_blocksize_stream(
-                        n_packets=24, pattern=pattern
-                    )
-                    VorbisConfig.default.use_pallas_ola = True
-                    via_pallas = decode_file_batch(ext)
-                    VorbisConfig.default.use_pallas_ola = False
-                    via_gather = decode_file_batch(ext)
-                    pallas_check = max(
-                        pallas_check,
-                        float(np.abs(via_pallas - via_gather).max()),
-                    )
-                RESULTS["pallas_vs_gather_max_err"] = pallas_check
-            finally:
-                VorbisConfig.default.use_pallas_ola = saved
-        except Exception as e:  # pragma: no cover
-            _mark(f"pallas section failed: {e!r}")
-
     # ---- late tunnel re-measure (token bucket may have drained/refilled) --------
     if not _over_budget():
         _mark("tunnel re-measurement")
@@ -518,14 +483,11 @@ def main() -> None:
     # value=-3.0 is the "fast but wrong" sentinel, distinct from -2.0
     # (section never ran).
     err51 = RESULTS["s16_err_5_1_lsb"]
-    pc = RESULTS["pallas_vs_gather_max_err"]
     failures = []
     if max_err > 1e-6:
         failures.append(f"accuracy budget exceeded: {max_err}")
     if err51 > 1:  # 0 when section skipped
         failures.append(f"5.1 s16 error: {err51}")
-    if pc > 0.0:  # -1 when skipped
-        failures.append(f"Pallas OLA != gather OLA: {pc}")
     if failures:
         _mark("ACCURACY GATE FAILED: " + "; ".join(failures))
         RESULTS["value"] = -3.0

@@ -18,7 +18,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from vorbispizza_tpu.ops.ola import block_assemble, expand_assemble
+from vorbispizza_tpu.ops.ola import (
+    block_assemble,
+    block_assemble_wide,
+    expand_assemble,
+)
 
 
 def _gen_side(L, Tf, rng, events):
@@ -67,8 +71,11 @@ def _events_for(L, Tf, rng):
     return js, cols[:, 0], cols[:, 2], cols[:, 1], cols[:, 3]
 
 
-@pytest.mark.parametrize("seed", range(8))
-def test_block_assemble_matches_expand(seed):
+@pytest.mark.parametrize(
+    "seed,form",
+    [(s, f) for s in range(8) for f in ("block", "wide")],
+)
+def test_block_assemble_matches_expand(seed, form):
     rng = np.random.default_rng(seed)
     L = int(rng.choice([64, 512, 4096]))
     Tf = int(rng.integers(L, 3 * L + 7))
@@ -84,9 +91,16 @@ def test_block_assemble_matches_expand(seed):
         jnp.asarray(np.concatenate([vb, np.zeros(pad, np.int32)])),
     ]
     f = jnp.asarray(flat)
+    fn = block_assemble if form == "block" else block_assemble_wide
     want = np.asarray(jax.jit(expand_assemble, static_argnums=2)(f, evs, L))
-    got = np.asarray(jax.jit(block_assemble, static_argnums=2)(f, evs, L))
+    got = np.asarray(jax.jit(fn, static_argnums=2)(f, evs, L))
     # coverage-replacement semantics: every sample is a 0/1-product
     # selection per side plus the same final side-add as gather_assemble,
     # so the formulations agree bit-for-bit (no tolerance)
     np.testing.assert_array_equal(got, want)
+    if form == "wide":
+        # the wide formulation's win case is full-lane W; check one
+        # explicitly (PHASE_W default covers the other)
+        if L % 128 == 0:
+            got128 = np.asarray(fn(f, evs, L, W=128))
+            np.testing.assert_array_equal(got128, want)

@@ -18,7 +18,6 @@ class VorbisConfig:
     skip_tags: bool = False  # reference StreamDecoder.SkipTags
     # batch pipeline knobs
     use_native_frontend: bool = True  # C++ entropy decode when available
-    use_pallas_ola: bool | None = None  # None = auto (TPU only)
     corpus_workers: int = 8  # front-end thread pool size
     # merged-chunk cap per execution (dense spectrum bytes). Swept on the
     # attached v5e (32x15s corpus): 6MB=123x, 12MB=165x, 24MB=183x,

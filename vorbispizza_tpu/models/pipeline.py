@@ -12,8 +12,8 @@ everything from there to PCM runs on device as a single program:
     (ops/floor, gather-free one-hot MXU contractions) -> coupling inverse
     (ops/coupling) -> spectrum = residue * floor -> IMDCT + window
     (ops/imdct, compensated MXU matmul) -> priming/final masks ->
-    overlap-add (ops/ola_pallas per-hop DMA kernel; two-gather fallback
-    for granule-trimmed streams) -> s16 quantize + wire packing (raw /
+    overlap-add (ops/ola.block_assemble_wide, phase-decomposed from host
+    events at full-lane W=128 rows) -> s16 quantize + wire packing (raw /
     byte planes / delta block-pack, ops/pcm_pack)
 
 Replaces the reference's serial packet loop + per-channel IMDCT + lapping
@@ -36,8 +36,7 @@ from ..ogg.container import OggContainer
 from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
-from ..ops.ola import OlaUnsupported, block_assemble
-from ..ops.ola_pallas import HopClass, hop_class, ola_hop_class
+from ..ops.ola import OlaUnsupported, block_assemble_wide
 from ..ops.pcm_pack import pack_pcm
 from ..ops.residue_sym import expand_submap, pack_bits
 from ..setup.mode import window_geometry
@@ -96,7 +95,7 @@ class BatchSynthesizer:
     """Per-stream-setup device synthesis. Bucket functions are jitted once
     per (bucket key, padded frame count) and cached."""
 
-    def __init__(self, setup, channels: int, use_pallas_ola: bool | None = None):
+    def __init__(self, setup, channels: int):
         self.setup = setup
         self.channels = channels
         #: sid -> parsed setup: buckets name their setup via key.sid, so
@@ -111,15 +110,6 @@ class BatchSynthesizer:
         self.setups: OrderedDict = OrderedDict()
         self.add_setup(setup)
         self._fns: dict = _LRUPrograms()
-        if use_pallas_ola is None:
-            from ..config import VorbisConfig
-
-            use_pallas_ola = VorbisConfig.default.use_pallas_ola
-        if use_pallas_ola is None:
-            # auto: the Pallas hop kernel targets real TPUs; interpret mode
-            # on CPU is for unit tests only (ops/ola_pallas.py)
-            use_pallas_ola = jax.default_backend() == "tpu"
-        self.use_pallas_ola = use_pallas_ola
 
     # -- one bucket: [F, C, half] tensors -> [F, C, n] windowed frames ----------
 
@@ -258,49 +248,6 @@ class BatchSynthesizer:
             ) * n
             base += Fp * n
         return flat_base
-
-    #: Mosaic requires dynamic VMEM slice starts in the lane dimension to be
-    #: provably divisible by the (.., 128) tiling; hop offsets from
-    #: long<->short transitions (e.g. (n1+n0)/4 = 576) are not, so those
-    #: plans route through the gather path instead.
-    OLA_ALIGN = 128
-
-    def _build_hops(self, plan: FramePlan, flat_base):
-        """Per-class hop arrays for the Pallas OLA kernel, or None when the
-        plan has granule cuts or any hop offset/length is not 128-aligned
-        (gather fallback). Returns (classes, total): classes maps
-        HopClass -> (src_a, src_b, dst) int32 lists."""
-        if not plan.is_cut_free():
-            return None  # trimmed stream: use the gather path
-        A = self.OLA_ALIGN
-        s = plan.soa()
-        classes: dict[HopClass, tuple[list, list, list]] = {}
-        out_pos = 0
-        for chain in plan.chains:
-            for k in range(1, len(chain)):
-                ip, ic = chain[k - 1], chain[k]
-                tail_prev = int(s.right_end[ip] - s.n[ip] // 2)
-                cls, b_off = hop_class(
-                    int(s.n[ip]), int(s.n[ic]) // 2, int(s.left_end[ic]),
-                    tail_prev,
-                )
-                src_a = flat_base[ip] + int(s.n[ip]) // 2
-                src_b = flat_base[ic] + b_off
-                if (
-                    cls.length % A
-                    or cls.prev_len % A
-                    or cls.cur_len % A
-                    or src_a % A
-                    or src_b % A
-                    or out_pos % A
-                ):
-                    return None  # unaligned hop geometry: gather path
-                rec = classes.setdefault(cls, ([], [], []))
-                rec[0].append(src_a)
-                rec[1].append(src_b)
-                rec[2].append(out_pos)
-                out_pos += cls.length
-        return classes, out_pos
 
     def _frame_tables(self, plan: FramePlan, buckets, padded_n):
         """Per-frame OLA tables (host, tiny): effective support offsets/ends
@@ -617,13 +564,9 @@ class BatchSynthesizer:
         dpack) runs SPMD over a stream-sharded mesh."""
         statics = list(sig[0])  # tuple of (key, metas)
         padded_n = list(sig[1])
-        segments = sig[2]  # tuple of (start, length); None => uniform arange
         output = sig[5]  # "f32" | "s16"
         entries, _ = self._layout(statics, padded_n, self.channels)
         C = self.channels
-
-        hop_mode = isinstance(segments, tuple) and segments and segments[0] == "hops"
-        interpret = jax.default_backend() != "tpu"
 
         def fused(f32_buf, i32_buf, i16_buf, u8_buf, *rest):
             bufs = {"f32": f32_buf, "i32": i32_buf, "i16": i16_buf, "u8": u8_buf}
@@ -721,20 +664,9 @@ class BatchSynthesizer:
                 flats.append(frames.transpose(1, 0, 2).reshape(C, Fp * n))
             flat = jnp.concatenate(flats, axis=1)
 
-            if hop_mode:
-                # Pallas per-hop DMA overlap-add (ops/ola_pallas.py)
-                out = jnp.zeros((C, sig[3]), dtype=jnp.float32)
-                args = iter(rest)
-                for cls, _hp in segments[1]:
-                    sa, sb, dd = next(args), next(args), next(args)
-                    out = ola_hop_class(
-                        flat, out, sa, sb, dd, cls, interpret=interpret
-                    )
-                pcm = out
-            else:
-                # ("ev", Ep): phase-decomposed OLA from host events
-                # (ops/ola.block_assemble; events arrive j-sorted)
-                pcm = block_assemble(flat, rest[:5], sig[3])
+            # ("ev", Ep): phase-decomposed OLA from host events
+            # (ops/ola.block_assemble_wide; events arrive j-sorted)
+            pcm = block_assemble_wide(flat, rest[:5], sig[3])
             if output in ("s16", "s16p", "s16d"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
@@ -799,9 +731,7 @@ class BatchSynthesizer:
         arrays, total). ``pads`` (from sig_pads/merge_pads) forces padded
         dimensions and wire dtypes UP to cross-shard maxima so independent
         shards of one corpus produce the SAME sig — the precondition for
-        running them as one shard_map program. Passing any ``pads`` (even
-        {}) also forces the event-based OLA path (per-hop-class Pallas
-        signatures cannot be unified across shards)."""
+        running them as one shard_map program."""
         PG = self.PACK_GRAN
         metas_per = [self._group_meta(b)[0] for b in buckets]
         # Residue wire format per bucket:
@@ -960,60 +890,32 @@ class BatchSynthesizer:
                     put(ge["amplitude"], g.amplitude)
 
         total = plan.pcm_length
-        hops = None
-        if self.use_pallas_ola and pads is None:
-            flat_base = self._flat_base(plan, buckets, padded_n)
-            hops = self._build_hops(plan, flat_base)
         host_args = [f32, i32, i16, u8]
-        if hops is not None:
-            classes, out_pos = hops
-            assert out_pos == total, (out_pos, total)
-            max_l = max((c.length for c in classes), default=1)
-            out_len = _pad_size(total + max_l + 1, 65536)
-            hop_sig = []
-            # deterministic class order; pad hop counts to quantized sizes
-            # (dummy hops read row 0 and write into the padded tail)
-            for cls in sorted(
-                classes, key=lambda c: (c.length, c.prev_len, c.cur_off)
-            ):
-                sa, sb, dd = classes[cls]
-                H = len(sa)
-                Hp = _pad_size(H, 16)
-                arr = np.zeros((3, Hp), dtype=np.int32)
-                arr[0, :H] = sa
-                arr[1, :H] = sb
-                arr[2, :H] = dd
-                arr[2, H:] = total  # dummies write into the padded region
-                hop_sig.append((cls, Hp))
-                host_args.extend([arr[0], arr[1], arr[2]])
-            seg_sig = ("hops", tuple(hop_sig))
-            F_tab = 0
-        else:
-            offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
-            out_len = _pad_size(max(total, 1), 65536)
-            if pads:
-                out_len = max(out_len, pads.get("out_len", 0))
-            evs = self._build_events(
-                offs, ends, fbase_off, plan.segments, total
+        offs, ends, fbase_off = self._frame_tables(plan, buckets, padded_n)
+        out_len = _pad_size(max(total, 1), 65536)
+        if pads:
+            out_len = max(out_len, pads.get("out_len", 0))
+        evs = self._build_events(
+            offs, ends, fbase_off, plan.segments, total
+        )
+        # events sorted by j: block_assemble derives each event's
+        # coverage and chain state from the sorted stream. Then pad to
+        # a quantized size; padding scatters at j=out_len, which
+        # mode="drop" discards.
+        order = np.argsort(evs[0], kind="stable")
+        evs = [a[order] for a in evs]
+        E = len(evs[0])
+        Ep = _pad_size(E, 64)
+        if pads:
+            Ep = max(Ep, pads.get("Ep", 0))
+        for i_, a_ in enumerate(evs):
+            pad_arr = np.full(
+                Ep, out_len if i_ == 0 else 0, dtype=np.int32
             )
-            # events sorted by j: block_assemble derives each event's
-            # coverage and chain state from the sorted stream. Then pad to
-            # a quantized size; padding scatters at j=out_len, which
-            # mode="drop" discards.
-            order = np.argsort(evs[0], kind="stable")
-            evs = [a[order] for a in evs]
-            E = len(evs[0])
-            Ep = _pad_size(E, 64)
-            if pads:
-                Ep = max(Ep, pads.get("Ep", 0))
-            for i_, a_ in enumerate(evs):
-                pad_arr = np.full(
-                    Ep, out_len if i_ == 0 else 0, dtype=np.int32
-                )
-                pad_arr[:E] = a_
-                host_args.append(pad_arr)
-            seg_sig = ("ev", Ep)
-            F_tab = 0
+            pad_arr[:E] = a_
+            host_args.append(pad_arr)
+        seg_sig = ("ev", Ep)
+        F_tab = 0
         sig = (
             statics,
             tuple(padded_n),

@@ -16,8 +16,7 @@ whole W-sample blocks are affine slices of flat — expanded from
 host-precomputed events at BLOCK granularity (phase-selected row takes +
 event-coverage replacement), never materializing per-sample indices.
 gather_assemble() below is the per-sample fallback formulation kept for
-reference/tests. On TPU a Pallas per-hop DMA kernel (ops/ola_pallas.py)
-also exists for cut-free aligned streams.
+reference/tests.
 """
 
 from __future__ import annotations
@@ -36,8 +35,17 @@ class OlaUnsupported(BatchUnsupported):
 
 #: phase-decomposition width of block_assemble: W-sample output blocks are
 #: affine slices of flat between events, so the bulk gather runs at 1/W of
-#: the per-sample index count (row takes of [Tf/W, W])
+#: the per-sample index count (row takes of [Tf/W, W]). On-chip sweep
+#: (v5e, 2026-08-18): 8 is this formulation's optimum (its W-way phase
+#: select is O(L*W)); block_assemble_wide below supersedes it in
+#: production.
 PHASE_W = 8
+
+#: production width of block_assemble_wide: full 128-lane rows. On-chip
+#: sweep (v5e, 2026-08-18, 8x15 s stereo merged chunk, exec-only):
+#: classic W=8 76.4 ms; wide W=8/32/64/128/256 = 62.6/66.8/41.1/33.0/36.8
+#: ms -> 3634x realtime at W=128 (2.3x over classic W=8).
+WIDE_W = 128
 
 
 def expand_assemble(flat, evs, L):
@@ -90,9 +98,8 @@ def block_assemble(flat, evs, L, W: int | None = None):
     3.7x SLOWER than even expand_assemble (310 ms vs 82 ms per 120 s
     chunk): XLA lowers unaligned lane-dim slice gathers to per-slice code,
     and Mosaic cannot DMA dynamically-unaligned lane slices either (the
-    same reason the Pallas hop kernel — gated to 128-aligned cut-free
-    plans, keep-or-delete pending the on-chip W sweep — cannot serve
-    these shapes).
+    same reason the since-deleted Pallas hop kernel could not serve these
+    shapes).
 
     evs: (ev_j, ev_da, ev_db, ev_va, ev_vb) i32 arrays, sorted by ev_j;
     padding events carry j = L, whose columns >= L every scatter drops.
@@ -164,6 +171,80 @@ def block_assemble(flat, evs, L, W: int | None = None):
         return base.at[:, cols].add(vals.reshape(C, -1), mode="drop")
 
     # the final side-add matches gather_assemble's `a + b` bit-for-bit
+    return side(ev_da, ev_va) + side(ev_db, ev_vb)
+
+
+def _row_phase_take(flat_r, start, W):
+    """[C, K, W] windows flat.flat[start[k] : start[k]+W] with OOB -> 0.
+
+    Two consecutive row takes of the [C, TfR, W] row view + a barrel-shift
+    lane rotation (log2(W) masked rolls instead of block_assemble's W-way
+    where chain): at W=128 the row view fills all 128 lanes and the roll
+    count is 7, so the per-window cost is O(log W) selects over full
+    vectors instead of O(W) selects over W-lane rows. start may be
+    negative (invalid regions): arithmetic >> floors, & gives the phase,
+    and the OOB row fill returns zeros exactly like a per-sample
+    mode="fill" take."""
+    r = start >> int(np.log2(W))
+    ph = start & (W - 1)
+    rowa = jnp.take(flat_r, r, axis=1, mode="fill", fill_value=0.0)
+    rowb = jnp.take(flat_r, r + 1, axis=1, mode="fill", fill_value=0.0)
+    x = jnp.concatenate([rowa, rowb], axis=-1)  # [C, K, 2W]
+    # rotate left by ph: positions [0, W) read original [ph, ph+W) and
+    # ph+W <= 2W, so wrapped lanes never land in the kept window
+    for b in range(int(np.log2(W))):
+        s = 1 << b
+        x = jnp.where(((ph >> b) & 1)[None, :, None] != 0, jnp.roll(x, -s, axis=-1), x)
+    return x[:, :, :W]
+
+
+def block_assemble_wide(flat, evs, L, W: int | None = None):
+    """Row-granularity OLA assembly, bit-identical to expand_assemble /
+    block_assemble (same events contract, any power-of-two W dividing L).
+
+    Differences vs block_assemble, all aimed at large W (=full 128-lane
+    fill): (1) the bulk phase selection is the barrel shifter of
+    _row_phase_take (O(log W) masked rolls, not W wheres); (2) the event
+    windows f_cur are ALSO row takes + barrel shift (block_assemble
+    gathers Ep*W per-sample indices — at W=128 that alone rivals the
+    per-sample formulation); (3) coverage zeroing and the event
+    scatter-add are ROW scatters at [NB/Ep, W] granularity instead of
+    element scatters over Ep*W flat columns."""
+    if W is None:
+        W = WIDE_W
+    assert W > 0 and (W & (W - 1)) == 0, f"W must be a power of two, got {W}"
+    assert L % W == 0, f"L={L} not a multiple of W={W}"
+    ev_j, ev_da, ev_db, ev_va, ev_vb = evs
+    C, Tf = flat.shape
+    NB = L // W
+    blk = ev_j // W
+    off = ev_j - blk * W
+    tw = jnp.arange(W, dtype=jnp.int32)
+    nxt_same = jnp.concatenate([blk[1:] == blk[:-1], jnp.zeros(1, dtype=bool)])
+    o_next = jnp.where(nxt_same, jnp.concatenate([off[1:], off[:1]]), jnp.int32(W))
+    emask = (
+        (tw[None, :] >= off[:, None]) & (tw[None, :] < o_next[:, None])
+    ).astype(jnp.float32)  # [Ep, W]
+    TfR = -(-(Tf + 1) // W)
+    flat_r = jnp.pad(flat, ((0, 0), (0, TfR * W - Tf))).reshape(C, TfR, W)
+    # padding events carry j = L -> blk = NB: row scatters drop them
+    keep = 1.0 - jnp.zeros((NB, W), jnp.float32).at[blk].add(emask, mode="drop")
+
+    def side(dv, vv):
+        d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
+        d_pre = jnp.cumsum(d_tot) - d_tot
+        v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
+        v_pre = jnp.cumsum(v_tot) - v_tot
+        start = jnp.arange(NB, dtype=jnp.int32) * W + d_pre
+        bval = (v_pre > 0).astype(jnp.float32)
+        approx = _row_phase_take(flat_r, start, W) * bval[None, :, None]
+        start_e = blk * W + jnp.cumsum(dv)  # event-window starts [Ep]
+        v_cur = (jnp.cumsum(vv) > 0).astype(jnp.float32)[:, None]
+        f_cur = _row_phase_take(flat_r, start_e, W)
+        vals = f_cur * (v_cur * emask)  # [C, Ep, W]
+        base = approx * keep[None, :, :]
+        return base.at[:, blk].add(vals, mode="drop").reshape(C, L)
+
     return side(ev_da, ev_va) + side(ev_db, ev_vb)
 
 

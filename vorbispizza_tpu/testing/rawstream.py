@@ -441,8 +441,8 @@ def make_extreme_blocksize_stream(
     packet" / seek-on-continued-packet shapes.
 
     ``pattern``: "alternate" switches blocks every two packets (every hop
-    transition class); "long"/"short" keep one uniform blocksize (the
-    128-aligned steady-state hop geometry the Pallas OLA kernel serves)."""
+    transition class); "long"/"short" keep one uniform blocksize
+    (128-aligned steady-state hop geometry)."""
     rng = np.random.default_rng(seed)
     bs0, bs1 = 64, 8192
 

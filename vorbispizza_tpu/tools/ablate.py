@@ -128,14 +128,14 @@ def run_ablation(
         ("pack_d2_only", "s16d", {(pp, "select_candidate"): d2_only_select}),
         ("pack_no_mm", "s16d", {(pp, "bytes_matmul"): zero_mm}),
         ("pack_no_gather", "s16d", {(pp, "compact"): no_gather_compact}),
-        ("no_ola", "s16d", {(pl, "block_assemble"): slice_ola}),
+        ("no_ola", "s16d", {(pl, "block_assemble_wide"): slice_ola}),
         ("no_synth_math", "s16d", {(BatchSynthesizer, "_synth_math"): flat_synth}),
         ("no_res_expand", "s16d", {(pl, "expand_submap"): zero_expand}),
         (
             "takes_only",
             "s16",
             {
-                (pl, "block_assemble"): slice_ola,
+                (pl, "block_assemble_wide"): slice_ola,
                 (BatchSynthesizer, "_synth_math"): flat_synth,
                 (pl, "expand_submap"): zero_expand,
             },
@@ -145,7 +145,7 @@ def run_ablation(
     results = {}
     base = None
     for name, output, monkey in variants:
-        synth = BatchSynthesizer(setup, channels, use_pallas_ola=False)
+        synth = BatchSynthesizer(setup, channels)
         with _patched(monkey):
             t_c0 = time.perf_counter()
             sig, args, total = synth.prepare(plan, buckets, output)

@@ -5,8 +5,8 @@ can additionally capture an XLA device trace).
     with device_trace("/tmp/vorbis-trace"):
         decode_corpus(paths)
 
-produces a TensorBoard-compatible trace of every fused decode program,
-transfer, and Pallas kernel.
+produces a TensorBoard-compatible trace of every fused decode program
+and transfer.
 """
 
 from __future__ import annotations
