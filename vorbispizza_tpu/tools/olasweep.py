@@ -32,7 +32,12 @@ def _time_exec(synth, plan, buckets, output, reps=5):
     return (time.perf_counter() - t0) / reps, compile_s
 
 
-def run_sweep(n_files: int = 8, secs: float = 15.0, channels: int = 2):
+def run_sweep(
+    n_files: int = 8,
+    secs: float = 15.0,
+    channels: int = 2,
+    forms: str = "both",
+):
     from ..models import pipeline as pl
     from ..models.corpus import _front_end, merge_streams
     from ..models.pipeline import BatchSynthesizer
@@ -58,6 +63,8 @@ def run_sweep(n_files: int = 8, secs: float = 15.0, channels: int = 2):
         ("block", (8, 16, 32, 64, 128)),
         ("wide", (8, 32, 64, 128, 256)),
     ):
+        if forms not in ("both", form):
+            continue
         fn = ola.block_assemble if form == "block" else ola.block_assemble_wide
         for W in Ws:
             def wth(flat, evs, L, _W=W, _fn=fn):
@@ -96,4 +103,5 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
     ch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    run_sweep(n, s, ch)
+    fo = sys.argv[4] if len(sys.argv) > 4 else "both"
+    run_sweep(n, s, ch, fo)
