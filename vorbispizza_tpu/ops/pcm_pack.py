@@ -155,24 +155,82 @@ def select_candidate(q: jnp.ndarray):
     return blk, widx, blk_flags
 
 
+_sel16_cache: list = []
+
+
+def _selection_matrix16():
+    """Bit-PAIR -> per-width-HALFWORD selection matrix (bf16), plus the
+    0/1 carry mask over halfword columns (0 at each width's first column).
+
+    Vs the byte/bit-plane formulation this is 4x fewer MACs: the operand
+    packs two bit planes per element (b_2p + 2*b_2p+1, values 0..3 —
+    exact in bf16) and each output column is a 16-bit halfword, both
+    halving their axis. A pair whose two bits straddle a halfword
+    boundary (q mod 16 == 15) keeps weight 2^q: its odd bit contributes
+    2^(q+1) = an overflow into bit 16, which IS that bit's value in the
+    next halfword — recovered exactly by the integer carry pass in
+    bytes_matmul. Weights are powers of two (bf16-exact) and column sums
+    stay < 2^18 (f32-exact)."""
+    if not _sel16_cache:
+        offs = np.cumsum([0] + [8 * w for w in WIDTHS[1:]])  # halfword cols
+        NPAIR = MAX_W // 2
+        M = np.zeros((BLOCK * NPAIR, int(offs[-1])), dtype=np.float32)
+        carry_ok = np.ones(int(offs[-1]), dtype=np.float32)
+        for wi, w in enumerate(WIDTHS[1:]):
+            base = int(offs[wi])
+            if base > 0:
+                # a block's non-chosen width columns hold garbage sums
+                # whose >>16 may be nonzero: a carry out of region wi-1's
+                # LAST column must never pollute region wi's first (kept)
+                # column. In-region boundary carries are the recovered
+                # straddle bits and stay enabled.
+                carry_ok[base - 1] = 0.0
+            for s in range(BLOCK):
+                for p in range((w + 1) // 2):
+                    q = s * w + 2 * p
+                    M[p * BLOCK + s, base + q // 16] += float(1 << (q % 16))
+        _sel16_cache.append((M.astype(jnp.bfloat16), offs, carry_ok))
+    return _sel16_cache[0]
+
+
 def bytes_matmul(blk: jnp.ndarray):
-    """Stage 2 of pack_pcm: every width's byte stream in ONE MXU matmul
-    over bit-planes: byte j of width w sums 2^k * bit (8j+k)%w of sample
-    (8j+k)//w — a static 0/1-weighted selection matrix. All values are
-    integers <= 255, exact in bf16 with f32 MXU accumulation. Measured
-    49 ms vs 82 ms for the 18-candidate VPU loop at corpus-chunk scale.
+    """Stage 2 of pack_pcm: every width's byte stream from ONE MXU matmul.
+
+    Bit-pair operand x [NBt, 9*BLOCK] (two planes per element) times the
+    static halfword selection matrix -> integer halfwords + a carry pass
+    (straddling pairs overflow bit 16 = bit 0 of the next halfword; the
+    receiving halfword misses that bit so +carry cannot overflow) -> the
+    identical little-endian byte layout the compaction gather and the
+    host unpacker expect. History at corpus-chunk scale: 18-candidate
+    VPU loop 82 ms -> bit-plane/byte matmul 49 ms -> this (4x fewer
+    MACs, 2x smaller operand).
 
     blk u32 [NBt, BLOCK] -> allbytes u8 [NBt, sum(16*w)]. Module-level
     for tools/ablate.py stage attribution."""
     NBt = blk.shape[0]
-    M_bf, _ = _selection_matrix()
-    # bit-plane-major expansion [NBt, MAX_W, BLOCK]: the sample axis stays
-    # the minor (lane) axis, so the reshape to the matmul operand is free
-    bits = (
-        (blk[:, None, :] >> jnp.arange(MAX_W, dtype=jnp.uint32)[None, :, None])
-        & 1
-    ).astype(jnp.bfloat16).reshape(NBt, MAX_W * BLOCK)
-    return jnp.matmul(bits, jnp.asarray(M_bf)).astype(jnp.uint8)
+    M16, _, carry_ok = _selection_matrix16()
+    NPAIR = MAX_W // 2
+    # pair-major expansion [NBt, NPAIR, BLOCK]: sample axis stays minor
+    # (lanes), so the reshape to the matmul operand is layout-free
+    pairs = (
+        (
+            blk[:, None, :]
+            >> (2 * jnp.arange(NPAIR, dtype=jnp.uint32))[None, :, None]
+        )
+        & 3
+    ).astype(jnp.bfloat16).reshape(NBt, NPAIR * BLOCK)
+    # halfword sums reach ~2^17: bf16 output would round them (bytes
+    # <= 255 fit bf16; halfwords do not) — force the f32 accumulator out
+    r = jnp.matmul(
+        pairs, jnp.asarray(M16), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    h = r & 0xFFFF
+    carry = (r >> 16) * jnp.asarray(carry_ok, jnp.int32)[None, :]
+    h = h + jnp.concatenate(
+        [jnp.zeros((NBt, 1), jnp.int32), carry[:, :-1]], axis=1
+    )
+    lohi = jnp.stack([h & 0xFF, h >> 8], axis=-1)  # little-endian bytes
+    return lohi.reshape(NBt, -1).astype(jnp.uint8)
 
 
 def compact(allbytes: jnp.ndarray, widx: jnp.ndarray):
