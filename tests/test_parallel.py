@@ -226,3 +226,31 @@ def test_sharded_corpus_batch_unsupported_degrades(prod_corpus, monkeypatch):
     for a, b in zip(sharded, single):
         assert a.shape == b.shape
         assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_sharded_corpus_overflow_redispatch():
+    """Near-incompressible streams overflow the soft-capacity dpack wire:
+    the sharded path must probe the shard headers, re-run the group with
+    the full-capacity pack, and still match the single-device decode
+    bit-for-bit."""
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    rate = 44100
+    corpus = [
+        encode_vorbis(
+            make_signal(2, 0.8, rate=rate, kind="noise", seed=40 + s),
+            rate=rate,
+            quality=0.7,
+        )
+        for s in range(3)
+    ]
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:2]), axis_names=("stream",))
+    sharded = decode_corpus_sharded(corpus, mesh, output="s16")
+    single = decode_corpus(corpus, output="s16")
+    for a, b in zip(sharded, single):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

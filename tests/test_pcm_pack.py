@@ -231,3 +231,45 @@ def test_inter_channel_multichannel_pairs():
     assert np.array_equal(
         unpack_pcm(data, widx_h, 6, q51.shape[1]), q51.astype(np.int16)
     )
+
+
+def test_soft_cap_truncates_and_reports_true_nbytes():
+    """compact() under a soft cap drops groups past the cap but still
+    reports the exact total, so hosts detect overflow from the header
+    alone; the kept prefix is byte-identical to the full-cap pack."""
+    from vorbispizza_tpu.ops.pcm_pack import compact, select_candidate, bytes_matmul
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(-32768, 32768, size=(2, 4 * BLOCK))  # wide blocks
+    blk, widx, _ = select_candidate(jnp.asarray(q, jnp.int32))
+    allb = bytes_matmul(blk)
+    full, nb_full = compact(allb, widx)
+    cap = 8  # groups; noise blocks need ~18 each -> overflow
+    soft, nb_soft = compact(allb, widx, cap_groups=cap)
+    assert int(nb_soft) == int(nb_full) > cap * 16
+    assert soft.shape[0] == cap * 16
+    assert np.array_equal(np.asarray(soft), np.asarray(full)[: cap * 16])
+
+
+def test_corpus_overflow_redispatch():
+    """A near-incompressible corpus overflows the soft-capacity dpack wire;
+    decode_corpus must detect it from the header and re-run with the
+    full-capacity program, bit-equal to the per-file anchor path."""
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.reader import VorbisReader
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    rate = 44100
+    data = encode_vorbis(
+        make_signal(2, 1.2, rate=rate, kind="noise", seed=5),
+        rate=rate,
+        quality=0.7,
+    )
+    outs = decode_corpus([data], output="s16")
+    r = VorbisReader(data)
+    r.initialize()
+    ref = r.read_all(planar=True)
+    q = np.clip(
+        np.rint(ref.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int64)
+    assert np.abs(outs[0].astype(np.int64) - q).max() <= 1

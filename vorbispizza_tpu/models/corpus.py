@@ -324,25 +324,43 @@ def decode_corpus(
     pulled_bytes = [0]
     _pull_lock = threading.Lock()
 
-    def finish(arr):
+    def finish(arr, retry=None):
         if output == "device":
             return arr
         if output == "s16":
             if isinstance(arr, tuple) and arr[0] == "dpack":
-                from ..ops.pcm_pack import pull_wire, unpack_pcm
+                from ..ops.pcm_pack import (
+                    PackOverflow,
+                    pull_wire,
+                    unpack_pcm,
+                )
 
-                _, buf, nbt, out_len, total = arr[:5]
-                page0 = arr[5] if len(arr) > 5 else None
-                with t.stage("collect_pull"), _pull_lock:
-                    # the first page carries [nbytes][widx] + payload head
-                    # (fixed-shape pages: no per-length device programs).
-                    # Pulls are SERIALIZED across collector workers: the
-                    # link is one pipe, and concurrent transfers thrash it
-                    # — one full-bandwidth pull at a time while other
-                    # workers unpack. (pulled_bytes increments ride the
-                    # same lock: up to 3 collector threads run finish().)
-                    nb, wtab, data = pull_wire(buf, nbt, page0)
-                    pulled_bytes[0] += nb + nbt + 4
+                for attempt in (0, 1):
+                    _, buf, nbt, out_len, total = arr[:5]
+                    page0 = arr[5] if len(arr) > 5 else None
+                    try:
+                        with t.stage("collect_pull"), _pull_lock:
+                            # the first page carries [nbytes][widx] +
+                            # payload head (fixed-shape pages: no
+                            # per-length device programs). Pulls are
+                            # SERIALIZED across collector workers: the
+                            # link is one pipe, and concurrent transfers
+                            # thrash it — one full-bandwidth pull at a
+                            # time while other workers unpack.
+                            # (pulled_bytes increments ride the same
+                            # lock: up to 3 collector threads run
+                            # finish().)
+                            nb, wtab, data = pull_wire(buf, nbt, page0)
+                            pulled_bytes[0] += nb + nbt + 4
+                        break
+                    except PackOverflow:
+                        # soft-cap wire overflowed (near-incompressible
+                        # PCM): re-run this chunk once with the full-cap
+                        # pack program — wire bytes are identical
+                        if retry is None or attempt:
+                            raise
+                        with t.stage("repack_full"):
+                            arr = retry()
                 C = nbt // (-(-out_len // 128))  # nbt = C * ceil(L/128)
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
@@ -381,7 +399,18 @@ def decode_corpus(
             setup, channels, plan, buckets = front
             synth = _synthesizer_for(setup, channels)
             try:
-                outs[i] = finish(synth.assemble(plan, buckets, output=fmt))
+                retry = (
+                    (
+                        lambda p=plan, b=buckets, s=synth: s.assemble(
+                            p, b, output="s16df"
+                        )
+                    )
+                    if fmt == "s16d"
+                    else None
+                )
+                outs[i] = finish(
+                    synth.assemble(plan, buckets, output=fmt), retry
+                )
             except BatchUnsupported:
                 outs[i] = _scalar_fallback(sources[i], output, clip_samples)
         return outs
@@ -446,12 +475,33 @@ def decode_corpus(
                 from ..ops.pcm_pack import start_page0
 
                 merged_out = merged_out + (start_page0(merged_out[1]),)
+
+                def rerun_full(chunk=chunk, dev=dev):
+                    # soft-cap overflow path: re-front-end this chunk's
+                    # streams (their merged plan was released after
+                    # dispatch) and re-run with the full-capacity pack.
+                    # Chunk composition is deterministic, so the merged
+                    # plan — and therefore the wire bytes — are identical.
+                    fronts2 = [_front_end(sources[i]) for i in chunk]
+                    synth2 = _synthesizer_for(fronts2[0][0], fronts2[0][1])
+                    for f2 in fronts2[1:]:
+                        synth2.add_setup(f2[0])
+                    plan2, buckets2, _ = merge_streams(
+                        [f2[2:4] for f2 in fronts2]
+                    )
+                    args2 = synth2.prepare(
+                        plan2, buckets2, "s16df", device=dev
+                    )
+                    out2 = synth2.run(*args2)
+                    return out2 + (start_page0(out2[1]),)
+
+                fut = collect_pool.submit(finish, merged_out, rerun_full)
             else:
                 try:
                     merged_out.copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass
-            fut = collect_pool.submit(finish, merged_out)
+                fut = collect_pool.submit(finish, merged_out)
         pending.append((chunk, pcm_lengths, merged_out, fut))
 
     fronts_by_idx: dict = {}

@@ -37,6 +37,7 @@ from ..ops.coupling import inverse_couple_batch
 from ..ops.floor import floor0_curves, floor1_curves
 from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, block_assemble_wide
+from ..ops import pcm_pack
 from ..ops.pcm_pack import pack_pcm
 from ..ops.residue_sym import expand_submap, pack_bits
 from ..setup.mode import window_geometry
@@ -667,7 +668,7 @@ class BatchSynthesizer:
             # ("ev", Ep): phase-decomposed OLA from host events
             # (ops/ola.block_assemble_wide; events arrive j-sorted)
             pcm = block_assemble_wide(flat, rest[:5], sig[3])
-            if output in ("s16", "s16p", "s16d"):
+            if output in ("s16", "s16p", "s16d", "s16df"):
                 # libvorbisfile ov_read-compatible quantization: clip, scale
                 # by 32768, rint (matches the testing/oracle s16 gate)
                 clipped = jnp.clip(pcm, -CLIP_MAX, CLIP_MAX)
@@ -675,12 +676,25 @@ class BatchSynthesizer:
                 q = jnp.clip(jnp.round(scaled), -32768.0, 32767.0).astype(
                     jnp.int32
                 )
-                if output == "s16d":
+                if output in ("s16d", "s16df"):
                     # delta block-pack wire (ops/pcm_pack.py) as ONE
                     # buffer [4B nbytes][widx][packed]: the host's first
                     # page pull carries the header, so no separate
-                    # nbytes/widx round-trips
-                    packed, nbytes, widx = pack_pcm(q)
+                    # nbytes/widx round-trips. "s16d" packs into the
+                    # soft-capacity buffer (typical content; 3x less
+                    # compaction gather); nbytes is exact either way, so
+                    # a host seeing nbytes > capacity re-runs the chunk
+                    # as "s16df" (full capacity, identical wire bytes).
+                    NBt = C * (sig[3] // pcm_pack.BLOCK)
+                    cap = None
+                    if output == "s16d":
+                        cap = min(
+                            _pad_size(
+                                NBt * pcm_pack.SOFT_GROUPS_PER_BLOCK, 4096
+                            ),
+                            NBt * pcm_pack.G_PER,
+                        )
+                    packed, nbytes, widx = pack_pcm(q, cap)
                     hdr = (
                         nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
                     ).astype(jnp.uint8)
@@ -929,7 +943,7 @@ class BatchSynthesizer:
     def run(self, sig, device_args, total):
         fn = self._fused_fn(sig)
         out = fn(*device_args)
-        if sig[5] == "s16d":
+        if sig[5] in ("s16d", "s16df"):
             # delta block-pack single-buffer wire covering the PADDED
             # output; callers pull via ops.pcm_pack.pull_wire, unpack,
             # then keep [:, :total]

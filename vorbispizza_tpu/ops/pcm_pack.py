@@ -233,21 +233,48 @@ def bytes_matmul(blk: jnp.ndarray):
     return lohi.reshape(NBt, -1).astype(jnp.uint8)
 
 
-def compact(allbytes: jnp.ndarray, widx: jnp.ndarray):
+#: worst-case 16-byte groups per block (width 18)
+G_PER = 4 * WORDS[-1] // 16
+
+#: soft compaction capacity, in groups per block AVERAGED over the chunk.
+#: A block's group count equals its width index's w (16w bytes); measured
+#: music sits at ~2.5 groups/block mean, so 6 is ~2.4x headroom while the
+#: compaction gather (the largest exec-only term: 71.5 of 115.5 ms per
+#: 120 s chunk at the full 18-group cap, 2026-08-18 ablation) shrinks 3x.
+#: Content that overflows (near-white-noise PCM) is detected EXACTLY on
+#: the host — nbytes in the wire header exceeds the payload capacity ->
+#: PackOverflow -> the caller re-runs the chunk with the full-cap
+#: program ("s16df"). Wire bytes are identical either way.
+SOFT_GROUPS_PER_BLOCK = 6
+
+
+class PackOverflow(Exception):
+    """The chunk's true packed size exceeds the soft-capacity wire buffer;
+    re-run with the full-capacity pack program (output="s16df")."""
+
+
+def compact(allbytes: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = None):
     """Stage 3 of pack_pcm: compaction at 16-BYTE granularity DIRECTLY
     from the per-width byte streams: every width's bytes sit at a static
-    16-aligned column offset in allbytes (16*w bytes at sel_offs[w-1]),
-    so the output gather indexes (block, width_base + group) straight
-    into the matmul result — no intermediate select/pad pass
-    materializing 18 masked copies of every block. Module-level for
-    tools/ablate.py stage attribution."""
+    16-aligned column offset in allbytes (16*w bytes at 2*offs16[w-1]),
+    so one flat row take per output group indexes straight into the
+    matmul result — no intermediate select/pad pass materializing masked
+    copies of every block. The per-group source row is
+    ``g + comb[blk_of[g]]`` with comb = blk*COLS + gbase - goff folded
+    into ONE per-block table, so the expansion costs one cumsum, one
+    scalar take and one 16-lane row take per group (scalar takes measured
+    ~12 ms per million on v5e — consolidating the previous goff+gbase
+    pair and the 2D composite gather roughly halved the stage).
+    ``cap_groups`` bounds the STATIC output (soft cap: see
+    SOFT_GROUPS_PER_BLOCK); groups past it are dropped (the true total is
+    still returned, so the host detects overflow exactly). Module-level
+    for tools/ablate.py stage attribution."""
     NBt = allbytes.shape[0]
-    _, sel_offs = _selection_matrix()
-    G_PER = 4 * WORDS[-1] // 16  # groups in a max-width block
-    a16 = allbytes.reshape(NBt, int(sel_offs[-1]) // 16, 16)
+    _, offs16, _ = _selection_matrix16()
+    COLS = int(offs16[-1]) * 2 // 16  # 16-byte group columns per block
+    a16flat = allbytes.reshape(NBt * COLS, 16)
     gbase_np = np.zeros(len(WIDTHS), dtype=np.int32)
-    gbase_np[1:] = np.asarray(sel_offs[:-1], dtype=np.int32) // 16
-    gbase = jnp.take(jnp.asarray(gbase_np), widx)  # [NBt] group base col
+    gbase_np[1:] = np.asarray(offs16[:-1], dtype=np.int32) * 2 // 16
     groups_tbl = jnp.asarray(
         np.asarray([4 * wd // 16 for wd in WORDS], dtype=np.int32)
     )
@@ -255,30 +282,39 @@ def compact(allbytes: jnp.ndarray, widx: jnp.ndarray):
     goff = jnp.cumsum(gpb) - gpb  # exclusive group offsets
     total_groups = goff[-1] + gpb[-1] if NBt else jnp.int32(0)
 
-    cap_groups = NBt * G_PER
+    if cap_groups is None:
+        cap_groups = NBt * G_PER
     # block id per output group: unit marker at each block's start offset
-    # (empty blocks collapse — their marker stacks on the next offset)
+    # (empty blocks collapse — their marker stacks on the next offset;
+    # offsets past the cap drop)
     marker = jnp.zeros(cap_groups + 1, dtype=jnp.int32)
     marker = marker.at[goff].add(1, mode="drop")
-    blk_of = jnp.cumsum(marker[:-1]) - 1
-    blk_of = jnp.clip(blk_of, 0, NBt - 1)
-    gib = jnp.arange(cap_groups, dtype=jnp.int32) - jnp.take(goff, blk_of)
-    gib = jnp.clip(gib, 0, G_PER - 1)
-    packed = a16[blk_of, jnp.take(gbase, blk_of) + gib].reshape(-1)
+    blk_of = jnp.clip(jnp.cumsum(marker[:-1]) - 1, 0, NBt - 1)
+    comb = (
+        jnp.arange(NBt, dtype=jnp.int32) * COLS
+        + jnp.take(jnp.asarray(gbase_np), widx)
+        - goff
+    )
+    idx = jnp.arange(cap_groups, dtype=jnp.int32) + jnp.take(comb, blk_of)
+    packed = jnp.take(
+        a16flat, idx, axis=0, mode="fill", fill_value=0
+    ).reshape(-1)
     return packed, (total_groups * 16).astype(jnp.int32)
 
 
-def pack_pcm(q: jnp.ndarray):
+def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
     """Device-side pack: q int32 [C, L] (s16-range) ->
-    (packed u8 [C*NB*4*WORDS[-1]], nbytes int32, widx u8 [C*NB]).
+    (packed u8 [16*cap_groups], nbytes int32, widx u8 [C*NB]).
 
     Only the first ``nbytes`` of ``packed`` are meaningful; blocks are laid
-    out back-to-back in (channel, block) order. Three stages — candidate
-    selection, bit-plane byte matmul, group compaction — live as
-    module-level functions so the on-chip ablation can attribute them."""
+    out back-to-back in (channel, block) order. nbytes may exceed the
+    buffer under a soft ``cap_groups`` — the host must then re-run with
+    the full cap (PackOverflow). Three stages — candidate selection,
+    halfword matmul, group compaction — live as module-level functions so
+    the on-chip ablation can attribute them."""
     blk, widx, blk_flags = select_candidate(q)
     allbytes = bytes_matmul(blk)
-    packed, nbytes = compact(allbytes, widx)
+    packed, nbytes = compact(allbytes, widx, cap_groups)
     # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
     wout = (widx | blk_flags).astype(jnp.uint8)
     return packed, nbytes, wout
@@ -336,6 +372,13 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
             f"({first} B); raise _PAGE_BIG or shrink the chunk"
         )
     nb = int(h[:4].view(np.int32)[0])
+    if nb > cap - 4 - nbt:
+        # soft-capacity wire: the chunk's true packed size exceeds the
+        # buffer (near-incompressible PCM) — the payload is truncated on
+        # device. Exact detection: nbytes in the header is the true total.
+        raise PackOverflow(
+            f"dpack payload {nb} B exceeds wire capacity {cap - 4 - nbt} B"
+        )
     widx = h[4 : 4 + nbt]
     data = np.empty(nb, dtype=np.uint8)
     take0 = min(nb, first - 4 - nbt)

@@ -241,11 +241,17 @@ def unpack_shard(row: np.ndarray, sig, channels: int, total: int):
     else the row's dtype)."""
     output = sig[5]
     out_len = sig[3]
-    if output == "s16d":
-        from ..ops.pcm_pack import unpack_pcm
+    if output in ("s16d", "s16df"):
+        from ..ops.pcm_pack import PackOverflow, unpack_pcm
 
         nbt = channels * (-(-out_len // 128))
         nb = int(np.asarray(row[:4]).view(np.int32)[0])
+        if nb > row.shape[0] - 4 - nbt:
+            # soft-capacity wire truncated on device (see
+            # ops/pcm_pack.SOFT_GROUPS_PER_BLOCK): caller re-runs "s16df"
+            raise PackOverflow(
+                f"dpack payload {nb} B exceeds shard wire capacity"
+            )
         widx = np.asarray(row[4 : 4 + nbt])
         data = np.asarray(row[4 + nbt : 4 + nbt + nb])
         return unpack_pcm(data, widx, channels, out_len)[:, :total]
@@ -315,6 +321,21 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
             sig, out, totals, lens, _wb = sharded_chunk_run(
                 synth, shard_items, mesh, fmt
             )
+            if fmt == "s16d":
+                # probe every shard's header first: if ANY shard's packed
+                # size overflows the soft wire capacity, re-run the whole
+                # group with the full-capacity pack (identical wire bytes)
+                nbt_w = channels * (-(-sig[3] // 128))
+                cap_w = int(out.shape[-1]) - 4 - nbt_w
+                over = any(
+                    int(np.asarray(out[k][:4]).view(np.int32)[0]) > cap_w
+                    for k, part in enumerate(parts)
+                    if part
+                )
+                if over:
+                    sig, out, totals, lens, _wb = sharded_chunk_run(
+                        synth, shard_items, mesh, "s16df"
+                    )
             if output == "device":
                 # keep PCM in HBM: out[k] is shard k's [C, padded] row on
                 # its own device; per-stream results are device slices
@@ -363,10 +384,23 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                         # run() already sliced to [C, total]; keep in HBM
                         outs[idxs[j]] = res
                     elif isinstance(res, tuple):
-                        from ..ops.pcm_pack import pull_wire, unpack_pcm
+                        from ..ops.pcm_pack import (
+                            PackOverflow,
+                            pull_wire,
+                            unpack_pcm,
+                        )
 
-                        _, buf, nbt, out_len, total = res[:5]
-                        nb, wtab, data = pull_wire(buf, nbt)
+                        try:
+                            _, buf, nbt, out_len, total = res[:5]
+                            nb, wtab, data = pull_wire(buf, nbt)
+                        except PackOverflow:
+                            # re-run this stream with the full-cap pack
+                            sig2, args2, total2 = synth.prepare(
+                                plan, buckets, "s16df", device=dev0
+                            )
+                            res = synth.run(sig2, args2, total2)
+                            _, buf, nbt, out_len, total = res[:5]
+                            nb, wtab, data = pull_wire(buf, nbt)
                         outs[idxs[j]] = unpack_pcm(
                             data, wtab, channels, out_len
                         )[:, :total]

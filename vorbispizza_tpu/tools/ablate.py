@@ -100,15 +100,15 @@ def run_ablation(
         _, offs = pp._selection_matrix()
         return jnp.zeros((blk.shape[0], int(offs[-1])), jnp.uint8)
 
-    def no_gather_compact(allbytes, widx):
-        # static slice instead of the (block, group) gather; nbytes math
+    def no_gather_compact(allbytes, widx, cap_groups=None):
+        # static slice instead of the flat row-take gather; nbytes math
         # (take+cumsum over widx) stays live so only the gather is removed
         groups_tbl = jnp.asarray(
             np.asarray([4 * wd // 16 for wd in pp.WORDS], dtype=np.int32)
         )
         gpb = jnp.take(groups_tbl, widx)
-        G_PER = 4 * pp.WORDS[-1] // 16
-        packed = allbytes[:, : G_PER * 16].reshape(-1)
+        cap = cap_groups if cap_groups is not None else allbytes.shape[0] * pp.G_PER
+        packed = jnp.zeros(cap * 16, jnp.uint8) + allbytes[0, 0]
         return packed, (jnp.sum(gpb) * 16).astype(jnp.int32)
 
     def flat_synth(self, key, residues, prime, final, floor_inputs, metas):
