@@ -154,3 +154,22 @@ def test_gmap_tier_i32_matches_u16():
     finally:
         BatchSynthesizer.GMAP_U16_MAX = saved
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("channels", [3, 4, 7])
+def test_batch_odd_channel_counts_s16_wire(channels):
+    """3/4/7-channel streams through the full corpus s16 (dpack) path:
+    covers the uncoupled multichannel mappings between stereo and 8ch and
+    the pack wire's unpaired-trailing-channel inter-candidate edge
+    (ops/pcm_pack.pair_partner). Reference mapping semantics:
+    /root/reference/NVorbis/Mapping.cs."""
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(channels, 0.5, kind="music", seed=30 + channels)
+    data = encode_vorbis(sig, quality=0.3)
+    ref = scalar_decode(data)
+    q = np.clip(np.rint(ref.astype(np.float64) * 32768.0), -32768, 32767)
+    got = decode_corpus([data], output="s16")[0]
+    assert got.shape == q.shape and got.shape[0] == channels
+    assert np.abs(got.astype(np.int64) - q.astype(np.int64)).max() <= 1

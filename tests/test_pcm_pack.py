@@ -237,12 +237,12 @@ def test_soft_cap_truncates_and_reports_true_nbytes():
     """compact() under a soft cap drops groups past the cap but still
     reports the exact total, so hosts detect overflow from the header
     alone; the kept prefix is byte-identical to the full-cap pack."""
-    from vorbispizza_tpu.ops.pcm_pack import compact, select_candidate, bytes_matmul
+    from vorbispizza_tpu.ops.pcm_pack import compact, select_candidate, words_matmul
 
     rng = np.random.default_rng(3)
     q = rng.integers(-32768, 32768, size=(2, 4 * BLOCK))  # wide blocks
     blk, widx, _ = select_candidate(jnp.asarray(q, jnp.int32))
-    allb = bytes_matmul(blk)
+    allb = words_matmul(blk)
     full, nb_full = compact(allb, widx)
     cap = 8  # groups; noise blocks need ~18 each -> overflow
     soft, nb_soft = compact(allb, widx, cap_groups=cap)

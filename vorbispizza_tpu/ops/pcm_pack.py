@@ -47,7 +47,6 @@ MAX_W = WIDTHS[-1]
 #: u32 words per block for each width
 WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
 
-_sel_cache: list = []
 
 
 def pair_partner(C: int) -> np.ndarray:
@@ -63,27 +62,6 @@ def pair_partner(C: int) -> np.ndarray:
     if C == 6:
         return np.array([0, 1, 0, 3, 3, 5])
     return np.where(ch % 2 == 1, ch - 1, ch)
-
-
-def _selection_matrix():
-    """Static bit-plane -> per-width-bytes selection matrix (bf16) and the
-    per-width column offsets; see the MXU matmul in pack_pcm.
-
-    Row index is b * BLOCK + s (bit-plane-major): the device's bit
-    expansion ((blk >> b) & 1 over a broadcast bit axis) then reshapes to
-    the matmul operand with NO transpose — the sample axis stays the lane
-    axis throughout."""
-    if not _sel_cache:
-        offs = np.cumsum([0] + [16 * w for w in WIDTHS[1:]])
-        M = np.zeros((BLOCK * MAX_W, int(offs[-1])), dtype=np.float32)
-        for wi, w in enumerate(WIDTHS[1:]):
-            base = int(offs[wi])
-            for g in range(BLOCK * w):
-                j, k = divmod(g, 8)
-                s, b = divmod(g, w)
-                M[b * BLOCK + s, base + j] += float(1 << k)
-        _sel_cache.append((M.astype(jnp.bfloat16), offs))
-    return _sel_cache[0]
 
 
 def select_candidate(q: jnp.ndarray):
@@ -159,8 +137,9 @@ _sel16_cache: list = []
 
 
 def _selection_matrix16():
-    """Bit-PAIR -> per-width-HALFWORD selection matrix (bf16), plus the
-    0/1 carry mask over halfword columns (0 at each width's first column).
+    """Bit-PAIR -> per-width-HALFWORD selection matrix (bf16), columns
+    ordered [all EVEN halfwords | all ODD halfwords], plus the 0/1 mask
+    for the odd->even carry (0 at each width region's last odd column).
 
     Vs the byte/bit-plane formulation this is 4x fewer MACs: the operand
     packs two bit planes per element (b_2p + 2*b_2p+1, values 0..3 —
@@ -169,46 +148,64 @@ def _selection_matrix16():
     boundary (q mod 16 == 15) keeps weight 2^q: its odd bit contributes
     2^(q+1) = an overflow into bit 16, which IS that bit's value in the
     next halfword — recovered exactly by the integer carry pass in
-    bytes_matmul. Weights are powers of two (bf16-exact) and column sums
-    stay < 2^18 (f32-exact)."""
+    words_matmul. Weights are powers of two (bf16-exact) and column sums
+    stay < 2^18 (f32-exact).
+
+    The even/odd column split lets the i32 WORD stream form from two
+    contiguous lane slices (even | odd<<16) with no byte interleave: a
+    u8 interleave of the full matmul output measured ~36 ms per 120 s
+    chunk on v5e (8-bit relayouts), vs ~4 ms for the word combine.
+    ``offs`` are per-width offsets in WORD columns (half the halfword
+    count)."""
     if not _sel16_cache:
-        offs = np.cumsum([0] + [8 * w for w in WIDTHS[1:]])  # halfword cols
+        offs = np.cumsum([0] + [4 * w for w in WIDTHS[1:]])  # word cols
+        HALF = int(offs[-1])  # even (= odd) halfword column count
         NPAIR = MAX_W // 2
-        M = np.zeros((BLOCK * NPAIR, int(offs[-1])), dtype=np.float32)
-        carry_ok = np.ones(int(offs[-1]), dtype=np.float32)
+        M = np.zeros((BLOCK * NPAIR, 2 * HALF), dtype=np.float32)
+        carry_oe_ok = np.ones(HALF, dtype=np.float32)
         for wi, w in enumerate(WIDTHS[1:]):
-            base = int(offs[wi])
+            base = int(offs[wi])  # word base of this width region
             if base > 0:
                 # a block's non-chosen width columns hold garbage sums
                 # whose >>16 may be nonzero: a carry out of region wi-1's
-                # LAST column must never pollute region wi's first (kept)
-                # column. In-region boundary carries are the recovered
-                # straddle bits and stay enabled.
-                carry_ok[base - 1] = 0.0
+                # LAST odd halfword must never pollute region wi's first
+                # even column. In-region carries are the recovered
+                # straddle bits and stay enabled. (The even->odd carry
+                # never crosses a region: both halves of a word share
+                # one region.)
+                carry_oe_ok[base - 1] = 0.0
             for s in range(BLOCK):
                 for p in range((w + 1) // 2):
                     q = s * w + 2 * p
-                    M[p * BLOCK + s, base + q // 16] += float(1 << (q % 16))
-        _sel16_cache.append((M.astype(jnp.bfloat16), offs, carry_ok))
+                    j = q // 16  # halfword index within the region
+                    col = (
+                        base + j // 2 if j % 2 == 0 else HALF + base + j // 2
+                    )
+                    M[p * BLOCK + s, col] += float(1 << (q % 16))
+        _sel16_cache.append((M.astype(jnp.bfloat16), offs, carry_oe_ok))
     return _sel16_cache[0]
 
 
-def bytes_matmul(blk: jnp.ndarray):
-    """Stage 2 of pack_pcm: every width's byte stream from ONE MXU matmul.
+def words_matmul(blk: jnp.ndarray):
+    """Stage 2 of pack_pcm: every width's packed stream as i32 WORDS from
+    ONE MXU matmul.
 
     Bit-pair operand x [NBt, 9*BLOCK] (two planes per element) times the
-    static halfword selection matrix -> integer halfwords + a carry pass
-    (straddling pairs overflow bit 16 = bit 0 of the next halfword; the
-    receiving halfword misses that bit so +carry cannot overflow) -> the
-    identical little-endian byte layout the compaction gather and the
-    host unpacker expect. History at corpus-chunk scale: 18-candidate
-    VPU loop 82 ms -> bit-plane/byte matmul 49 ms -> this (4x fewer
-    MACs, 2x smaller operand).
+    static even|odd halfword selection matrix -> integer halfwords + a
+    carry pass (straddling pairs overflow bit 16 = bit 0 of the next
+    halfword; the receiving halfword misses that bit so +carry cannot
+    overflow) -> little-endian u32 words combined from two CONTIGUOUS
+    lane slices. Everything stays 32-bit until after compaction — the
+    full-size stream is never materialized as u8 (8-bit relayouts
+    measured ~36 ms per 120 s chunk). History at corpus-chunk scale:
+    18-candidate VPU loop 82 ms -> bit-plane/byte matmul 49 ms ->
+    halfword/bit-pair matmul (4x fewer MACs) -> this word-native layout.
 
-    blk u32 [NBt, BLOCK] -> allbytes u8 [NBt, sum(16*w)]. Module-level
-    for tools/ablate.py stage attribution."""
+    blk u32 [NBt, BLOCK] -> words i32 [NBt, sum(4*w)]. Module-level for
+    tools/ablate.py stage attribution."""
     NBt = blk.shape[0]
-    M16, _, carry_ok = _selection_matrix16()
+    M16, offs, carry_oe_ok = _selection_matrix16()
+    HALF = int(offs[-1])
     NPAIR = MAX_W // 2
     # pair-major expansion [NBt, NPAIR, BLOCK]: sample axis stays minor
     # (lanes), so the reshape to the matmul operand is layout-free
@@ -224,13 +221,15 @@ def bytes_matmul(blk: jnp.ndarray):
     r = jnp.matmul(
         pairs, jnp.asarray(M16), preferred_element_type=jnp.float32
     ).astype(jnp.int32)
-    h = r & 0xFFFF
-    carry = (r >> 16) * jnp.asarray(carry_ok, jnp.int32)[None, :]
-    h = h + jnp.concatenate(
-        [jnp.zeros((NBt, 1), jnp.int32), carry[:, :-1]], axis=1
+    r_even, r_odd = r[:, :HALF], r[:, HALF:]
+    h_even = r_even & 0xFFFF
+    h_odd = (r_odd & 0xFFFF) + (r_even >> 16)  # even->odd: same word
+    # odd->even carry crosses words; masked at width-region boundaries
+    c_oe = (r_odd >> 16) * jnp.asarray(carry_oe_ok, jnp.int32)[None, :]
+    h_even = h_even + jnp.concatenate(
+        [jnp.zeros((NBt, 1), jnp.int32), c_oe[:, :-1]], axis=1
     )
-    lohi = jnp.stack([h & 0xFF, h >> 8], axis=-1)  # little-endian bytes
-    return lohi.reshape(NBt, -1).astype(jnp.uint8)
+    return h_even | (h_odd << 16)
 
 
 #: worst-case 16-byte groups per block (width 18)
@@ -253,28 +252,28 @@ class PackOverflow(Exception):
     re-run with the full-capacity pack program (output="s16df")."""
 
 
-def compact(allbytes: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = None):
-    """Stage 3 of pack_pcm: compaction at 16-BYTE granularity DIRECTLY
-    from the per-width byte streams: every width's bytes sit at a static
-    16-aligned column offset in allbytes (16*w bytes at 2*offs16[w-1]),
-    so one flat row take per output group indexes straight into the
-    matmul result — no intermediate select/pad pass materializing masked
-    copies of every block. The per-group source row is
-    ``g + comb[blk_of[g]]`` with comb = blk*COLS + gbase - goff folded
-    into ONE per-block table, so the expansion costs one cumsum, one
-    scalar take and one 16-lane row take per group (scalar takes measured
-    ~12 ms per million on v5e — consolidating the previous goff+gbase
-    pair and the 2D composite gather roughly halved the stage).
+def compact(words: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = None):
+    """Stage 3 of pack_pcm: compaction at 16-BYTE (4-word) granularity
+    DIRECTLY from the per-width word streams: every width's words sit at
+    a static column offset in ``words`` (4w words at 4*cum(w)), so one
+    flat row take per output group indexes straight into the matmul
+    result — no intermediate select/pad pass materializing masked copies
+    of every block. The per-group source row is ``g + comb[blk_of[g]]``
+    with comb = blk*COLS + gbase - goff folded into ONE per-block table,
+    so the expansion costs one cumsum, one scalar take and one 4-lane
+    i32 row take per group; bytes are extracted arithmetically AFTER the
+    gather, on the compacted output only (u8 relayout of the full-size
+    stream measured ~36 ms per 120 s chunk; on the compacted ~3 ms).
     ``cap_groups`` bounds the STATIC output (soft cap: see
     SOFT_GROUPS_PER_BLOCK); groups past it are dropped (the true total is
     still returned, so the host detects overflow exactly). Module-level
     for tools/ablate.py stage attribution."""
-    NBt = allbytes.shape[0]
-    _, offs16, _ = _selection_matrix16()
-    COLS = int(offs16[-1]) * 2 // 16  # 16-byte group columns per block
-    a16flat = allbytes.reshape(NBt * COLS, 16)
+    NBt = words.shape[0]
+    _, offs, _ = _selection_matrix16()
+    COLS = int(offs[-1]) // 4  # 4-word group columns per block
+    w4flat = words.reshape(NBt * COLS, 4)
     gbase_np = np.zeros(len(WIDTHS), dtype=np.int32)
-    gbase_np[1:] = np.asarray(offs16[:-1], dtype=np.int32) * 2 // 16
+    gbase_np[1:] = np.asarray(offs[:-1], dtype=np.int32) // 4
     groups_tbl = jnp.asarray(
         np.asarray([4 * wd // 16 for wd in WORDS], dtype=np.int32)
     )
@@ -296,9 +295,15 @@ def compact(allbytes: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = N
         - goff
     )
     idx = jnp.arange(cap_groups, dtype=jnp.int32) + jnp.take(comb, blk_of)
-    packed = jnp.take(
-        a16flat, idx, axis=0, mode="fill", fill_value=0
-    ).reshape(-1)
+    g4 = jnp.take(w4flat, idx, axis=0, mode="fill", fill_value=0)
+    # little-endian byte extraction on the COMPACTED stream only
+    packed = (
+        (
+            g4[:, :, None]
+            >> jnp.asarray([0, 8, 16, 24], jnp.int32)[None, None, :]
+        )
+        & 0xFF
+    ).astype(jnp.uint8).reshape(-1)
     return packed, (total_groups * 16).astype(jnp.int32)
 
 
@@ -310,11 +315,11 @@ def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
     out back-to-back in (channel, block) order. nbytes may exceed the
     buffer under a soft ``cap_groups`` — the host must then re-run with
     the full cap (PackOverflow). Three stages — candidate selection,
-    halfword matmul, group compaction — live as module-level functions so
+    word matmul, group compaction — live as module-level functions so
     the on-chip ablation can attribute them."""
     blk, widx, blk_flags = select_candidate(q)
-    allbytes = bytes_matmul(blk)
-    packed, nbytes = compact(allbytes, widx, cap_groups)
+    words = words_matmul(blk)
+    packed, nbytes = compact(words, widx, cap_groups)
     # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
     wout = (widx | blk_flags).astype(jnp.uint8)
     return packed, nbytes, wout

@@ -97,8 +97,8 @@ def run_ablation(
     def zero_mm(blk):
         # bit expansion + selection matmul go dead (zeros uses only the
         # static shape); widx and compaction stay live
-        _, offs = pp._selection_matrix()
-        return jnp.zeros((blk.shape[0], int(offs[-1])), jnp.uint8)
+        _, offs, _ = pp._selection_matrix16()
+        return jnp.zeros((blk.shape[0], int(offs[-1])), jnp.int32)
 
     def no_gather_compact(allbytes, widx, cap_groups=None):
         # static slice instead of the flat row-take gather; nbytes math
@@ -108,7 +108,9 @@ def run_ablation(
         )
         gpb = jnp.take(groups_tbl, widx)
         cap = cap_groups if cap_groups is not None else allbytes.shape[0] * pp.G_PER
-        packed = jnp.zeros(cap * 16, jnp.uint8) + allbytes[0, 0]
+        packed = (jnp.zeros(cap * 16, jnp.int32) + allbytes[0, 0]).astype(
+            jnp.uint8
+        )
         return packed, (jnp.sum(gpb) * 16).astype(jnp.int32)
 
     def flat_synth(self, key, residues, prime, final, floor_inputs, metas):
@@ -126,7 +128,7 @@ def run_ablation(
         ("no_pack(s16)", "s16", {}),
         ("no_quant(f32)", "f32", {}),
         ("pack_d2_only", "s16d", {(pp, "select_candidate"): d2_only_select}),
-        ("pack_no_mm", "s16d", {(pp, "bytes_matmul"): zero_mm}),
+        ("pack_no_mm", "s16d", {(pp, "words_matmul"): zero_mm}),
         ("pack_no_gather", "s16d", {(pp, "compact"): no_gather_compact}),
         ("no_ola", "s16d", {(pl, "block_assemble_wide"): slice_ola}),
         ("no_synth_math", "s16d", {(BatchSynthesizer, "_synth_math"): flat_synth}),
