@@ -173,3 +173,22 @@ def test_batch_odd_channel_counts_s16_wire(channels):
     got = decode_corpus([data], output="s16")[0]
     assert got.shape == q.shape and got.shape[0] == channels
     assert np.abs(got.astype(np.int64) - q.astype(np.int64)).max() <= 1
+
+
+@pytest.mark.parametrize(
+    "rate,bitrate",
+    [(44100, 128000), (8000, 24000), (48000, 256000)],
+)
+def test_bitrate_managed_streams(rate, bitrate):
+    """Bitrate-MANAGED encoder setups (vorbis_encode_init nominal mode):
+    a different codebook/floor vintage than the VBR-quality corpus, at
+    telephone / CD / studio rates. Decoded through the batch pipeline and
+    gated against the scalar anchor."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    sig = make_signal(2, 0.6, rate=rate, kind="music", seed=60)
+    data = encode_vorbis(sig, rate=rate, bitrate=bitrate)
+    ref = scalar_decode(data)
+    got = decode_file_batch(data)
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() <= TOL

@@ -78,19 +78,38 @@ def encode_vorbis(
     quality: float = 0.4,
     serial: int = 1,
     comments: dict[str, str] | None = None,
+    bitrate: int | None = None,
 ) -> bytes:
-    """Encode planar float PCM [channels, n] -> one logical Ogg Vorbis stream."""
+    """Encode planar float PCM [channels, n] -> one logical Ogg Vorbis stream.
+
+    ``bitrate`` (bits/s) switches to the bitrate-MANAGED encoder setup
+    (vorbis_encode_init nominal mode) instead of VBR quality mode — a
+    different codebook/floor/residue vintage than init_vbr, widening the
+    synthesized conformance coverage (the reference's corpora span both;
+    /root/reference/NVorbis.Tests/Utils/TestAssets.cs)."""
     ogg, vbs, enc = _load()
     pcm = np.ascontiguousarray(pcm, dtype=np.float32)
     channels, n = pcm.shape
 
     vi = _VorbisInfo()
     vbs.vorbis_info_init(C.byref(vi))
-    rc = enc.vorbis_encode_init_vbr(
-        C.byref(vi), C.c_long(channels), C.c_long(rate), C.c_float(quality)
-    )
-    if rc != 0:
-        raise RuntimeError(f"vorbis_encode_init_vbr failed: {rc}")
+    if bitrate is not None:
+        rc = enc.vorbis_encode_init(
+            C.byref(vi),
+            C.c_long(channels),
+            C.c_long(rate),
+            C.c_long(-1),
+            C.c_long(int(bitrate)),
+            C.c_long(-1),
+        )
+        if rc != 0:
+            raise RuntimeError(f"vorbis_encode_init failed: {rc}")
+    else:
+        rc = enc.vorbis_encode_init_vbr(
+            C.byref(vi), C.c_long(channels), C.c_long(rate), C.c_float(quality)
+        )
+        if rc != 0:
+            raise RuntimeError(f"vorbis_encode_init_vbr failed: {rc}")
     vc = _VorbisComment()
     vbs.vorbis_comment_init(C.byref(vc))
     for k, v in (comments or {}).items():
