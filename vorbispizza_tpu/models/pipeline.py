@@ -23,6 +23,7 @@ scalar decoder (decoder.py) is the behavioral anchor it is tested against.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 import jax
@@ -109,6 +110,7 @@ class BatchSynthesizer:
         #: registration at prepare), so a live sid is always fresher than
         #: SETUPS_MAX older ones.
         self.setups: OrderedDict = OrderedDict()
+        self._setups_lock = threading.Lock()
         self.add_setup(setup)
         self._fns: dict = _LRUPrograms()
 
@@ -119,21 +121,29 @@ class BatchSynthesizer:
 
     def add_setup(self, setup) -> None:
         """Register a setup so its buckets (key.sid) resolve; merged
-        cross-setup chunks register every member stream's setup."""
+        cross-setup chunks register every member stream's setup.
+
+        Guarded: the process-wide synthesizer is reached from the corpus
+        dispatch thread AND collector threads (the soft-cap overflow
+        redispatch re-prepares on a collector worker), and OrderedDict
+        reorder/evict under concurrent mutation is not documented-safe."""
         from ..frames import setup_sid
 
-        self.setups[setup_sid(setup)] = setup
-        self.setups.move_to_end(setup_sid(setup))
-        while len(self.setups) > self.SETUPS_MAX:
-            self.setups.popitem(last=False)
+        with self._setups_lock:
+            self.setups[setup_sid(setup)] = setup
+            self.setups.move_to_end(setup_sid(setup))
+            while len(self.setups) > self.SETUPS_MAX:
+                self.setups.popitem(last=False)
 
     def _setup_for(self, key):
-        s = self.setups.get(key.sid)
+        with self._setups_lock:
+            s = self.setups.get(key.sid)
+            if s is not None:
+                self.setups.move_to_end(key.sid)
         if s is None:
             if key.sid == 0:  # hand-built test buckets (no extract stamp)
                 return self.setup
             raise KeyError(f"setup sid {key.sid} not registered")
-        self.setups.move_to_end(key.sid)
         return s
 
     def _bucket_static(self, key):
