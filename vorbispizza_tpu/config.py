@@ -21,7 +21,11 @@ class VorbisConfig:
     corpus_workers: int = 8  # front-end thread pool size
     # merged-chunk cap per execution (dense spectrum bytes). Swept on the
     # attached v5e (32x15s corpus): 6MB=123x, 12MB=165x, 24MB=183x,
-    # 48MB=53x (too few chunks to pipeline) — 24MB balances per-chunk
+    # 48MB=53x (too few chunks to pipeline). Re-swept 2026-08-18 after
+    # exec got 4x faster (median rtf of 3): 24MB=345, 16MB=345, 12MB=240,
+    # 8MB=240 — the optimum did NOT shift down; per-call latency on the
+    # high-latency link punishes extra chunks more than overlap gains.
+    # 24MB balances per-chunk
     # dispatch overhead against transfer/exec overlap granularity.
     corpus_batch_bytes: int = 24 << 20
     # s16 PCM wire format for host delivery (all lossless):
