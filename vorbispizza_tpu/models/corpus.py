@@ -469,12 +469,21 @@ def decode_corpus(
         fut = None
         if output != "device":
             if isinstance(merged_out, tuple):
-                # launch the wire's header page now: its slice program
-                # queues right behind this chunk's execution, ahead of
-                # later chunks' programs
                 from ..ops.pcm_pack import start_page0
 
-                merged_out = merged_out + (start_page0(merged_out[1]),)
+                # launch the wire's header page now: its slice program
+                # queues right behind this chunk's execution, ahead of
+                # later chunks' programs. Size it from a host-side
+                # estimate (~30% of raw s16 on music; measured 15-21%):
+                # the buffer's padded capacity is ~2x the payload and a
+                # fixed-size first page ships that padding over the link
+                fmt_nbt, fmt_total = merged_out[2], merged_out[4]
+                hint = 4 + fmt_nbt + int(
+                    0.30 * fmt_total * synth.channels * 2
+                )
+                merged_out = merged_out + (
+                    start_page0(merged_out[1], hint),
+                )
 
                 def rerun_full(chunk=chunk, dev=dev):
                     # soft-cap overflow path: re-front-end this chunk's

@@ -348,11 +348,25 @@ def _page_fn(size: int):
     return fn
 
 
-def start_page0(dev: "jnp.ndarray"):
+def start_page0(dev: "jnp.ndarray", hint_bytes: int | None = None):
     """Launch the wire's first page (slice program + async host copy) so
-    it rides behind later work; hand the result to pull_wire."""
+    it rides behind later work; hand the result to pull_wire.
+
+    ``hint_bytes``: host-side estimate of the total wire size (header +
+    widx + packed). The wire buffer is the PADDED soft capacity —
+    typically ~2x the real payload — so pulling a fixed-size first page
+    moves ~1.3 MB of dead padding per chunk over the link (+33% of the
+    d2h byte budget measured on the 32-file bench corpus). The first
+    page is sized to the 256 KB-quantized hint instead; an undershoot
+    costs one extra sized-page round trip in pull_wire (which already
+    pulls any remainder), an overshoot is bounded by the quantum."""
     cap = int(dev.shape[0])
-    page = dev if cap <= _PAGE_BIG else _page_fn(_PAGE_BIG)(dev, 0)
+    if hint_bytes is None:
+        size = _PAGE_BIG
+    else:
+        q = 256 << 10
+        size = min(_PAGE_BIG, -(-max(int(hint_bytes), 1) // q) * q)
+    page = dev if cap <= size else _page_fn(size)(dev, 0)
     try:
         page.copy_to_host_async()
     except (AttributeError, RuntimeError):
