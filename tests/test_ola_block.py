@@ -93,7 +93,12 @@ def test_block_assemble_matches_expand(seed, form):
     f = jnp.asarray(flat)
     fn = block_assemble if form == "block" else block_assemble_wide
     want = np.asarray(jax.jit(expand_assemble, static_argnums=2)(f, evs, L))
-    got = np.asarray(jax.jit(fn, static_argnums=2)(f, evs, L))
+    if form == "wide":
+        # the default W=WIDE_W=128 requires W | L; at L=64 test W=64
+        # (the production path only sees 65536-quantized L)
+        got = np.asarray(fn(f, evs, L, W=min(128, L)))
+    else:
+        got = np.asarray(jax.jit(fn, static_argnums=2)(f, evs, L))
     # coverage-replacement semantics: every sample is a 0/1-product
     # selection per side plus the same final side-add as gather_assemble,
     # so the formulations agree bit-for-bit (no tolerance)

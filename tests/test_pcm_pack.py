@@ -273,3 +273,26 @@ def test_corpus_overflow_redispatch():
         np.rint(ref.astype(np.float64) * 32768.0), -32768, 32767
     ).astype(np.int64)
     assert np.abs(outs[0].astype(np.int64) - q).max() <= 1
+
+
+def test_pull_wire_small_buffer_hint_undershoot():
+    """A hint-sized first page that undershoots on a wire buffer SMALLER
+    than the fixed page sizes must still pull the remainder (regression:
+    the remainder slice was sized past the buffer and crashed)."""
+    from vorbispizza_tpu.ops.pcm_pack import pull_wire, start_page0
+
+    nbt = 64
+    nb = 300 * 1024
+    cap = 400 * 1024  # between the 256 KB quantum and _PAGE_SMALL (512 KB)
+    rng = np.random.default_rng(9)
+    wire = np.empty(cap, dtype=np.uint8)
+    wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)
+    wire[4 : 4 + nbt] = rng.integers(0, 255, size=nbt, dtype=np.uint8)
+    payload = rng.integers(0, 255, size=nb, dtype=np.uint8)
+    wire[4 + nbt : 4 + nbt + nb] = payload
+    dev = jnp.asarray(wire)
+    page0 = start_page0(dev, hint_bytes=10 * 1024)  # deliberate undershoot
+    got_nb, got_widx, got_data = pull_wire(dev, nbt, page0)
+    assert got_nb == nb
+    assert np.array_equal(got_widx, wire[4 : 4 + nbt])
+    assert np.array_equal(got_data, payload)

@@ -76,7 +76,7 @@ class _LRUPrograms(OrderedDict):
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        self._lock = __import__("threading").Lock()
+        self._lock = threading.Lock()
 
     def get(self, key, default=None):
         with self._lock:
@@ -143,7 +143,13 @@ class BatchSynthesizer:
         if s is None:
             if key.sid == 0:  # hand-built test buckets (no extract stamp)
                 return self.setup
-            raise KeyError(f"setup sid {key.sid} not registered")
+            # raced eviction (a chunk with >SETUPS_MAX member setups, or a
+            # concurrent corpus evicting this one's sids between add_setup
+            # and trace): BatchUnsupported routes the caller to its
+            # fallback (scalar decode) instead of aborting the corpus
+            raise BatchUnsupported(
+                f"setup sid {key.sid} evicted before trace"
+            )
         return s
 
     def _bucket_static(self, key):

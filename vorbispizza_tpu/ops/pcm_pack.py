@@ -408,6 +408,9 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
     pages = []
     while a < nb:
         size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
+        # a hint-sized first page can undershoot on a wire buffer smaller
+        # than _PAGE_SMALL: the remainder slice must still fit the buffer
+        size = min(size, cap)
         start = min(off + a, cap - size)
         page = _page_fn(size)(dev, start)
         try:
