@@ -146,6 +146,21 @@ class VorbisReader:
         return self.sample_position / self.sample_rate
 
     @property
+    def nominal_bitrate(self) -> int:
+        """Reference IVorbisReader.NominalBitrate."""
+        return self.stream_decoder.nominal_bitrate
+
+    @property
+    def upper_bitrate(self) -> int:
+        """Reference IVorbisReader.UpperBitrate."""
+        return self.stream_decoder.upper_bitrate
+
+    @property
+    def lower_bitrate(self) -> int:
+        """Reference IVorbisReader.LowerBitrate."""
+        return self.stream_decoder.lower_bitrate
+
+    @property
     def streams_count(self) -> int:
         return len(self.streams)
 
