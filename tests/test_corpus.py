@@ -260,3 +260,44 @@ def test_synth_program_cache_bounded_and_evicts_cleanly(small_corpus, monkeypatc
     second = decode_corpus(small_corpus, output="s16")
     for a, b in zip(first, second):
         assert np.array_equal(a, b)
+
+
+def test_corpus_on_error_policies():
+    """A malformed file either aborts the corpus (on_error='raise', the
+    reference per-file InvalidDataException contract) or is isolated to a
+    None slot while every other file decodes (on_error='none', the
+    production corpus-service contract)."""
+    from vorbispizza_tpu import errors
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    good = encode_vorbis(make_signal(2, 0.4, kind="music", seed=1), quality=0.3)
+    bad = good[:300] + b"\x00" * 50  # truncated headers + junk
+    with pytest.raises(errors.VorbisError):
+        decode_corpus([good, bad, good], output="s16")
+    outs = decode_corpus([good, bad, good], output="s16", on_error="none")
+    assert outs[1] is None
+    assert outs[0] is not None and np.array_equal(outs[0], outs[2])
+    with pytest.raises(ValueError):
+        decode_corpus([good], on_error="ignore")
+
+
+def test_sharded_corpus_on_error_none():
+    import jax
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu import errors
+    from vorbispizza_tpu.models.corpus import decode_corpus
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    good = encode_vorbis(make_signal(2, 0.4, kind="music", seed=2), quality=0.3)
+    bad = b"OggS" + b"\x17" * 200
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:2]), axis_names=("stream",))
+    with pytest.raises(errors.VorbisError):
+        decode_corpus_sharded([good, bad], mesh, output="s16")
+    outs = decode_corpus_sharded([good, bad], mesh, output="s16", on_error="none")
+    assert outs[1] is None
+    single = decode_corpus([good], output="s16")[0]
+    assert np.array_equal(outs[0], single)

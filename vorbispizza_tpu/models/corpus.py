@@ -98,7 +98,11 @@ def _front_end(source):
         return fast
     container = OggContainer(io.BytesIO(data))
     if not container.try_init():
-        raise ValueError("no logical stream found")
+        # typed per the reference's InvalidDataException contract so
+        # corpus on_error policies can isolate the file
+        from ..errors import InvalidDataError
+
+        raise InvalidDataError("no logical stream found")
     provider = container.providers[0]
     dec = StreamDecoder(provider)
     dec.initialize()
@@ -261,9 +265,18 @@ def decode_corpus(
     max_batch_bytes: int | None = None,
     devices=None,
     timer=None,
+    on_error: str = "raise",
 ):
     """Decode many Ogg Vorbis sources (paths or bytes) -> list of planar
     PCM arrays, in input order.
+
+    ``on_error``: what a MALFORMED source (VorbisError: bad headers,
+    truncated setup, junk) does to the corpus. "raise" (default)
+    propagates the first file's error — the per-file contract of the
+    streaming API (reference InvalidDataException). "none" isolates
+    failures production-style: the failed file's slot is None and every
+    other file still decodes. Infrastructure errors (device loss, OOM)
+    always propagate.
 
     ``output``:
       "f32"    — numpy float32 [C, samples] on host (clipped per
@@ -379,6 +392,13 @@ def decode_corpus(
             np.clip(pcm, -CLIP_MAX, CLIP_MAX, out=pcm)
         return pcm
 
+    from ..errors import VorbisError
+
+    if on_error not in ("raise", "none"):
+        raise ValueError(f"on_error must be 'raise' or 'none', got {on_error!r}")
+
+    _FAILED = object()  # per-file failure sentinel (on_error="none")
+
     def front_end_or_none(source):
         # plan building can itself reject a stream (e.g. a granule cut past
         # an earlier cut on trimmed/malformed input); that stream must fall
@@ -387,14 +407,31 @@ def decode_corpus(
             return _front_end(source)
         except BatchUnsupported:
             return None
+        except VorbisError:
+            if on_error == "raise":
+                raise
+            return _FAILED
+
+    def scalar_or_failed(i):
+        # the scalar anchor is the last resort for a batch-rejected
+        # stream; a MALFORMED file fails here too and must not take the
+        # corpus down under on_error="none"
+        try:
+            return _scalar_fallback(sources[i], output, clip_samples)
+        except VorbisError:
+            if on_error == "raise":
+                raise
+            return None
 
     outs = [None] * len(sources)
     if not batched:
         with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
             fronts = list(pool.map(front_end_or_none, sources))
         for i, front in enumerate(fronts):
+            if front is _FAILED:
+                continue  # on_error="none": slot stays None
             if front is None:
-                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+                outs[i] = scalar_or_failed(i)
                 continue
             setup, channels, plan, buckets = front
             synth = _synthesizer_for(setup, channels)
@@ -412,7 +449,7 @@ def decode_corpus(
                     synth.assemble(plan, buckets, output=fmt), retry
                 )
             except BatchUnsupported:
-                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+                outs[i] = scalar_or_failed(i)
         return outs
 
     # Batched path: accumulate per-channel-count groups as front ends
@@ -464,7 +501,7 @@ def decode_corpus(
             # stream shapes the batch planner cannot model: decode each
             # stream of this chunk with the scalar anchor instead
             for i in chunk:
-                outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+                outs[i] = scalar_or_failed(i)
             return
         fut = None
         if output != "device":
@@ -524,8 +561,10 @@ def decode_corpus(
             # repeated corpora instead of recompiling every run
             for i, fut in enumerate(futs):
                 front = fut.result()
+                if front is _FAILED:
+                    continue  # on_error="none": slot stays None
                 if front is None:
-                    outs[i] = _scalar_fallback(sources[i], output, clip_samples)
+                    outs[i] = scalar_or_failed(i)
                     continue
                 fronts_by_idx[i] = front
                 # chunks group by CHANNEL COUNT only: buckets carry their

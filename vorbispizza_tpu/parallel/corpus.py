@@ -258,7 +258,7 @@ def unpack_shard(row: np.ndarray, sig, channels: int, total: int):
     return np.asarray(row)[..., :total]
 
 
-def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
+def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str = "raise"):
     """Decode a corpus with stream-level data parallelism over ``mesh``
     (1-D). Groups streams by channel count (setups may differ — bucket
     keys carry setup identity), partitions each group over the mesh
@@ -277,17 +277,33 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                  feature extraction, ASR, ...). Unclipped, like the
                  single-device tier.
 
+    ``on_error``: "raise" (default) propagates a malformed source's
+    VorbisError; "none" leaves the failed file's slot as None and decodes
+    the rest (same contract as decode_corpus).
+
     Degradation note: a stream the batch planner rejects falls back to the
     float64 scalar decoder, whose s16 quantization can differ from the
     device-f32 batch path by ±1 LSB — a partially-degraded corpus is
     correct but not bit-stable across runs that degrade differently
     (tests/test_parallel.py pins the ≤1 LSB bound)."""
+    from ..errors import VorbisError
     from ..frames import BatchUnsupported
     from ..models.corpus import (
         _front_end,
         _scalar_fallback,
         _synthesizer_for,
     )
+
+    if on_error not in ("raise", "none"):
+        raise ValueError(f"on_error must be 'raise' or 'none', got {on_error!r}")
+
+    def scalar_or_failed(i):
+        try:
+            return _scalar_fallback(sources[i], output, True)
+        except VorbisError:
+            if on_error == "raise":
+                raise
+            return None
 
     fmt = "s16d" if output == "s16" else "f32"
     outs: list = [None] * len(sources)
@@ -298,8 +314,12 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
             front = _front_end(src)
         except BatchUnsupported:
             front = None
+        except VorbisError:
+            if on_error == "raise":
+                raise
+            continue  # slot stays None
         if front is None:
-            outs[i] = _scalar_fallback(sources[i], output, True)
+            outs[i] = scalar_or_failed(i)
             continue
         fronts[i] = front
         # group by channel count only — bucket keys carry setup identity
@@ -376,9 +396,7 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16"):
                         )
                         res = synth.run(sig2, args2, total2)
                     except BatchUnsupported:
-                        outs[idxs[j]] = _scalar_fallback(
-                            sources[idxs[j]], output, True
-                        )
+                        outs[idxs[j]] = scalar_or_failed(idxs[j])
                         continue
                     if output == "device":
                         # run() already sliced to [C, total]; keep in HBM
