@@ -307,6 +307,12 @@ def decode_corpus(
     host->device copies and compute overlap chunk k+1's front end), and
     device->host copies start immediately after dispatch so they share the
     interconnect with later chunks instead of serializing at the end.
+
+    Degradation note: a stream the batch planner rejects falls back to the
+    float64 scalar decoder, whose s16 quantization can differ from the
+    device-f32 batch path by ±1 LSB (the underlying f32 PCM differs at
+    ~2e-7, which can flip a rounding decision) — a partially-degraded
+    corpus is correct but not bit-stable against the all-batched output.
     """
     import contextlib
 
