@@ -177,7 +177,8 @@ def _probe_backend(timeout_s: float = 120.0) -> bool:
 
     code = (
         "import jax, numpy as np;"
-        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache');"
+        "from vorbispizza_tpu.utils.cache import configure;"
+        "configure(jax);"
         "d = jax.device_put(np.arange(8));"
         "assert int(np.asarray(d).sum()) == 28"
     )
@@ -227,8 +228,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vorbispizza_tpu.utils.cache import configure as _configure_cache
+
+    _configure_cache(jax)  # repo-local: survives container restarts
 
     from vorbispizza_tpu.config import VorbisConfig
     from vorbispizza_tpu.models.corpus import decode_corpus
@@ -295,7 +297,9 @@ def main() -> None:
     _mark("headline timed reps")
     rep_rtfs = []
     timer = DecodeTimer()
-    max_reps = 3
+    # median-of-5 when budget allows: rep-to-rep tunnel weather swings
+    # 240-420x on identical code; extra reps cost ~2 s each warm
+    max_reps = 5
     for rep in range(max_reps):
         t0 = time.perf_counter()
         decode_corpus(corpus, output="s16", timer=timer)

@@ -23,9 +23,11 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the batch-pipeline tests trigger several
-# moderately large XLA compiles; cache them across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# moderately large XLA compiles; cache them across test runs (repo-local:
+# /tmp does not survive container restarts between sessions)
+from vorbispizza_tpu.utils.cache import configure as _configure_cache
+
+_configure_cache(jax)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_TESTFILES = pathlib.Path("/root/reference/TestFiles")

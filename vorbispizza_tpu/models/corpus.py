@@ -338,12 +338,17 @@ def decode_corpus(
         def count(self, name, value):
             pass
 
+        def mark(self, name):
+            pass
+
     t = timer if timer is not None else _NullTimer()
+    if not hasattr(t, "mark"):  # older DecodeTimer-shaped objects
+        t.mark = lambda name: None
 
     pulled_bytes = [0]
     _pull_lock = threading.Lock()
 
-    def finish(arr, retry=None):
+    def finish(arr, retry=None, cid=None):
         if output == "device":
             return arr
         if output == "s16":
@@ -358,7 +363,9 @@ def decode_corpus(
                     _, buf, nbt, out_len, total = arr[:5]
                     page0 = arr[5] if len(arr) > 5 else None
                     try:
+                        t.mark(f"c{cid}.pull_wait")
                         with t.stage("collect_pull"), _pull_lock:
+                            t.mark(f"c{cid}.pull0")
                             # the first page carries [nbytes][widx] +
                             # payload head (fixed-shape pages: no
                             # per-length device programs). Pulls are
@@ -371,6 +378,7 @@ def decode_corpus(
                             # finish().)
                             nb, wtab, data = pull_wire(buf, nbt, page0)
                             pulled_bytes[0] += nb + nbt + 4
+                        t.mark(f"c{cid}.pull_done")
                         break
                     except PackOverflow:
                         # soft-cap wire overflowed (near-incompressible
@@ -479,6 +487,8 @@ def decode_corpus(
 
     def dispatch(chunk, fronts_by_idx):
         nonlocal n_dispatched
+        cid = n_dispatched
+        t.mark(f"c{cid}.merge0")
         setup, channels = fronts_by_idx[chunk[0]][:2]
         synth = _synthesizer_for(setup, channels)
         for i in chunk[1:]:  # cross-setup chunk: register every setup
@@ -500,9 +510,11 @@ def decode_corpus(
                 "h2d_bytes",
                 sum(int(a.size) * a.dtype.itemsize for a in args[1]),
             )
+            t.mark(f"c{cid}.dispatch0")
             with t.stage("dispatch"):
                 # async: the chunk is in flight before any d2h completes
                 merged_out = synth.run(*args)
+            t.mark(f"c{cid}.dispatched")
         except BatchUnsupported:
             # stream shapes the batch planner cannot model: decode each
             # stream of this chunk with the scalar anchor instead
@@ -547,13 +559,13 @@ def decode_corpus(
                     out2 = synth2.run(*args2)
                     return out2 + (start_page0(out2[1]),)
 
-                fut = collect_pool.submit(finish, merged_out, rerun_full)
+                fut = collect_pool.submit(finish, merged_out, rerun_full, cid)
             else:
                 try:
                     merged_out.copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass
-                fut = collect_pool.submit(finish, merged_out)
+                fut = collect_pool.submit(finish, merged_out, None, cid)
         pending.append((chunk, pcm_lengths, merged_out, fut))
 
     fronts_by_idx: dict = {}

@@ -64,7 +64,7 @@ class _LRUPrograms(OrderedDict):
     """Bounded program cache: synthesizers live process-wide (one per
     channel count, models/corpus.py), so an unbounded `_fns` would retain
     every compiled fused program a heterogeneous workload ever produced.
-    Evicts least-recently-used; /tmp/jax_cache keeps the compiled binary,
+    Evicts least-recently-used; the persistent jit cache keeps the binary,
     so re-admission costs a trace + cache load, not a fresh compile.
 
     get/__setitem__ take a lock: the process-wide synthesizer is reachable

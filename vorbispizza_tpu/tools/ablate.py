@@ -8,7 +8,8 @@ attribute the exec-only budget per stage — the measurement VERDICT r2
 asked for (exec-only 385x -> where does the rest go).
 
 Each variant is its own XLA program (first run compiles; over the attached
-tunnel a fused compile can take minutes cold — /tmp/jax_cache persists
+tunnel a fused compile can take minutes cold — the repo-local jit cache
+(utils/cache.py) persists
 them). Timings end in a real 4-byte device->host pull: block_until_ready
 is unreliable over the tunnel (PERF_NOTES.md).
 
@@ -175,7 +176,9 @@ def run_ablation(
 
 
 if __name__ == "__main__":
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from ..utils.cache import configure as _configure_cache
+
+    _configure_cache(jax)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
     ch = int(sys.argv[3]) if len(sys.argv) > 3 else 2

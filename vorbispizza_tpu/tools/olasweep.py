@@ -99,7 +99,9 @@ def run_sweep(
 
 
 if __name__ == "__main__":
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from ..utils.cache import configure as _configure_cache
+
+    _configure_cache(jax)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
     ch = int(sys.argv[3]) if len(sys.argv) > 3 else 2

@@ -37,6 +37,11 @@ class DecodeTimer:
 
     stages: dict = field(default_factory=dict)
     counters: dict = field(default_factory=dict)
+    #: optional event timeline [(name, t_rel_s)] — mark() is a no-op until
+    #: the first mark of a run establishes t0, so steady-state users pay
+    #: one lock + append per event only when a caller asked for a timeline
+    events: list = field(default_factory=list)
+    _t0: float = 0.0
     # stages run concurrently (the corpus collector pool finishes chunks on
     # worker threads); accumulation must be atomic
     _lock: object = field(default_factory=__import__("threading").Lock)
@@ -50,6 +55,17 @@ class DecodeTimer:
             dt = time.perf_counter() - t0
             with self._lock:
                 self.stages[name] = self.stages.get(name, 0.0) + dt
+
+    def mark(self, name: str) -> None:
+        """Append a timestamped event (seconds since the timer's first
+        mark). The corpus pipeline marks dispatch/pull boundaries per
+        chunk, giving the overlap timeline that aggregate stage walls
+        (which overlap) cannot show."""
+        t = time.perf_counter()
+        with self._lock:
+            if not self.events:
+                self._t0 = t
+            self.events.append((name, round(t - self._t0, 4)))
 
     def count(self, name: str, value) -> None:
         with self._lock:
