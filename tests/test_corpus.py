@@ -179,6 +179,25 @@ def test_decode_corpus_mixed_setups():
     assert s0 is s3
 
 
+def test_decode_corpus_channel_layouts():
+    """3/4/5-channel streams through the BATCHED device path: per-channel-count
+    synthesizers, partial coupling configurations (coupled L/R pairs plus
+    uncoupled center/LFE), Residue2 interleave at odd widths."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    corpus = [
+        encode_vorbis(
+            make_signal(ch, 0.4, kind="music", seed=50 + ch), quality=0.2
+        )
+        for ch in (3, 4, 5)
+    ]
+    outs = decode_corpus(corpus, n_workers=2)
+    for data, got in zip(corpus, outs):
+        ref = scalar_decode(data)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= 2e-6
+
+
 def test_cross_setup_chunk_merges_to_one_program():
     """Streams of THREE different setups (qualities) with one channel
     count merge into ONE chunk and decode through ONE fused program

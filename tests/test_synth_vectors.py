@@ -52,6 +52,25 @@ def test_low_rate_mono(tmp_path):
     _cmp_oracle(encode_vorbis(sig, rate=8000, quality=0.1), tmp_path)
 
 
+@pytest.mark.parametrize("channels", [3, 4, 5, 7])
+def test_channel_layouts(channels, tmp_path):
+    """3/4/5/7-channel encoder mappings: each count gets a distinct coupling
+    configuration from libvorbisenc (stereo pairs among L/R groups, uncoupled
+    center/LFE) — exercises partial-coupling inverse and Residue2 interleave
+    widths beyond the stereo/5.1/8ch vectors (reference corpora analog:
+    NVorbis.Tests/Utils/TestAssets.cs, unavailable offline)."""
+    sig = make_signal(channels, 0.5, kind="music", seed=20 + channels)
+    _cmp_oracle(encode_vorbis(sig, quality=0.2), tmp_path)
+
+
+@pytest.mark.parametrize("rate", [48000, 96000])
+def test_high_rate_stereo(rate, tmp_path):
+    """48/96 kHz setups use different encoder vintages (codebook sets,
+    blocksize/floor tuning) than the 44.1 kHz family."""
+    sig = make_signal(2, 0.4, kind="music", seed=31)
+    _cmp_oracle(encode_vorbis(sig, rate=rate, quality=0.4), tmp_path)
+
+
 def test_chained_streams(tmp_path):
     a = encode_vorbis(make_signal(2, 0.5, kind="music", seed=1), serial=111,
                       comments={"TITLE": "A"})
