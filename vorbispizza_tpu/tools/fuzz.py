@@ -1,0 +1,176 @@
+"""Offline robustness fuzzer: randomized encoder configs, stream
+corruption, and chained/multiplexed compositions against the scalar
+decoder and the batch pipeline.
+
+The compact in-suite versions (tests/test_fuzz.py) run 6+12 trials; this
+harness runs until a wall-clock budget expires and prints a repro line
+for every failure, so long idle windows can buy real coverage. The
+robustness contract checked on every trial:
+
+- a corrupt stream either raises ``VorbisError`` (loud rejection) or
+  decodes; any OTHER exception is a bug (reference analog: the
+  NVorbis fuzz corpora, /root/reference/NVorbis.Tests/OggTests.cs);
+- whenever both paths decode, batch == scalar within 2e-6 (CPU budget);
+- no trial may wedge: a trial slower than _SLOW_S is reported.
+
+CPU-only — forces jax_platforms=cpu so idle fuzzing never touches the
+tunnel or the chip's jit cache entries.
+
+Usage: python -m vorbispizza_tpu.tools.fuzz [budget_seconds=300] [seed0=0]
+Exit status 1 if any trial failed.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import numpy as np
+
+_SLOW_S = 30.0
+
+_RATES = (8000, 11025, 16000, 22050, 32000, 44100, 48000, 96000)
+_CHANNELS = (1, 2, 3, 4, 5, 6, 8)
+
+
+def _force_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from vorbispizza_tpu.utils import cache
+
+    cache.configure(jax)
+
+
+def _random_stream(rng: np.random.Generator, serial: int = 1) -> bytes:
+    """Encode a random (channels, rate, quality|bitrate, signal) stream.
+    Raises RuntimeError when libvorbisenc rejects the combination."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    ch = int(rng.choice(_CHANNELS))
+    rate = int(rng.choice(_RATES))
+    kind = str(rng.choice(["music", "sine", "noise"]))
+    sig = make_signal(ch, float(rng.uniform(0.25, 0.8)), rate=rate, kind=kind,
+                      seed=int(rng.integers(0, 2**31)))
+    if rng.random() < 0.25:  # bitrate-managed vintage
+        bitrate = int(rng.choice([32000, 64000, 128000, 256000])) * max(1, ch // 2)
+        return encode_vorbis(sig, rate=rate, serial=serial, bitrate=bitrate)
+    return encode_vorbis(sig, rate=rate, serial=serial,
+                         quality=float(rng.uniform(-0.1, 1.0)))
+
+
+def _corrupt(rng: np.random.Generator, data: bytes) -> bytes:
+    """One random mutation. Header bytes are fair game: corrupt headers
+    must be rejected loudly, not crash."""
+    bad = bytearray(data)
+    mode = str(rng.choice(["bitflip", "truncate", "shear", "dup", "swap", "zero"]))
+    if mode == "bitflip":
+        for pos in rng.integers(0, len(bad), size=int(rng.integers(1, 8))):
+            bad[int(pos)] ^= int(rng.integers(1, 256))
+    elif mode == "truncate":
+        bad = bad[: int(rng.integers(1, len(bad)))]
+    elif mode == "shear":
+        cut = int(rng.integers(0, len(bad) - 1))
+        del bad[cut: cut + int(rng.integers(1, 5000))]
+    elif mode == "dup":  # duplicate a span in place (fake page replay)
+        cut = int(rng.integers(0, len(bad) - 1))
+        span = bytes(bad[cut: cut + int(rng.integers(100, 6000))])
+        bad[cut:cut] = span
+    elif mode == "swap":  # transpose two spans (page reorder analog)
+        n = len(bad)
+        a, b = sorted(int(x) for x in rng.integers(0, max(1, n - 4000), size=2))
+        w = int(rng.integers(100, 4000))
+        bad[a: a + w], bad[b: b + w] = bad[b: b + w], bad[a: a + w]
+    else:
+        cut = int(rng.integers(0, len(bad) - 1))
+        w = int(rng.integers(100, 6000))
+        bad[cut: cut + w] = bytes(min(w, len(bad) - cut))
+    return bytes(bad)
+
+
+def _decode_scalar(data: bytes):
+    from vorbispizza_tpu.reader import VorbisReader
+
+    r = VorbisReader(data)
+    r.initialize()
+    out = [r.read_all(planar=True)]
+    while r.find_next_stream():  # walk every logical stream (chains/mux)
+        if r.switch_streams(r.streams_count - 1):
+            pass
+        out.append(r.read_all(planar=True))
+    return out
+
+
+def _one_trial(rng: np.random.Generator) -> str:
+    """Returns 'ok' | 'skip' | 'reject'. Raises on contract violation."""
+    from vorbispizza_tpu.errors import VorbisError
+    from vorbispizza_tpu.models.pipeline import decode_file_batch
+    from vorbispizza_tpu.testing.encode import chain_streams, multiplex_streams
+
+    shape = str(rng.choice(["single", "single", "corrupt", "corrupt", "corrupt",
+                            "chain", "mux", "chain_corrupt"]))
+    try:
+        if shape in ("chain", "mux", "chain_corrupt"):
+            parts = [_random_stream(rng, serial=100 + k)
+                     for k in range(int(rng.integers(2, 4)))]
+            data = (multiplex_streams(*parts) if shape == "mux"
+                    else chain_streams(*parts))
+            if shape == "chain_corrupt":
+                data = _corrupt(rng, data)
+        else:
+            data = _random_stream(rng, serial=int(rng.integers(1, 2**31)))
+            if shape == "corrupt":
+                data = _corrupt(rng, data)
+    except RuntimeError:
+        return "skip"  # encoder rejected the config — not our surface
+
+    try:
+        ref = _decode_scalar(data)
+    except VorbisError:
+        ref = None  # loud rejection is within contract
+    if shape == "mux":
+        return "ok" if ref is not None else "reject"  # batch path is per-logical-stream
+
+    try:
+        got = decode_file_batch(data)
+    except VorbisError:
+        return "reject" if ref is None else "ok"  # batch may reject earlier than scalar
+    if ref is None:
+        return "ok"  # scalar rejected, batch found a decodable prefix
+    want = ref[0]  # batch pipeline decodes the FIRST logical stream only
+    assert got.shape == want.shape, (got.shape, want.shape)
+    if got.size:
+        err = float(np.abs(got - want).max())
+        assert err <= 2e-6, f"batch/scalar diverge: {err}"
+    return "ok"
+
+
+def main() -> int:
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 300.0
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    _force_cpu()
+    t0 = time.time()
+    stats = {"ok": 0, "skip": 0, "reject": 0, "fail": 0, "slow": 0}
+    trial = 0
+    while time.time() - t0 < budget:
+        seed = seed0 + trial
+        rng = np.random.default_rng(seed)
+        t1 = time.time()
+        try:
+            stats[_one_trial(rng)] += 1
+        except Exception:
+            stats["fail"] += 1
+            print(f"FAIL seed={seed} (repro: tools.fuzz 1 {seed})")
+            traceback.print_exc()
+        dt = time.time() - t1
+        if dt > _SLOW_S:
+            stats["slow"] += 1
+            print(f"SLOW seed={seed} took {dt:.1f}s")
+        trial += 1
+    print(f"fuzz: {trial} trials in {time.time()-t0:.0f}s: {stats}")
+    return 1 if stats["fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
