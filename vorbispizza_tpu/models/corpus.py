@@ -342,8 +342,20 @@ def decode_corpus(
             pass
 
     t = timer if timer is not None else _NullTimer()
-    if not hasattr(t, "mark"):  # older DecodeTimer-shaped objects
-        t.mark = lambda name: None
+    if not hasattr(t, "mark"):  # older DecodeTimer-shaped objects:
+        # wrap rather than mutate the caller's instance (slotted/frozen
+        # timer types would reject the attribute anyway)
+        class _MarkAdapter:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def mark(self, name):
+                pass
+
+        t = _MarkAdapter(t)
 
     pulled_bytes = [0]
     _pull_lock = threading.Lock()
@@ -357,6 +369,7 @@ def decode_corpus(
                     PackOverflow,
                     pull_wire,
                     unpack_pcm,
+                    wire_rows,
                 )
 
                 for attempt in (0, 1):
@@ -388,7 +401,7 @@ def decode_corpus(
                             raise
                         with t.stage("repack_full"):
                             arr = retry()
-                C = nbt // (-(-out_len // 128))  # nbt = C * ceil(L/128)
+                C = nbt // wire_rows(out_len)  # nbt = C * rows(L)
                 with t.stage("collect_unpack"):
                     return unpack_pcm(data, wtab, C, out_len)[:, :total]
             with _pull_lock:

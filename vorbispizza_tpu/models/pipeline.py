@@ -964,7 +964,7 @@ class BatchSynthesizer:
             # output; callers pull via ops.pcm_pack.pull_wire, unpack,
             # then keep [:, :total]
             out_len = sig[3]
-            nbt = self.channels * (-(-out_len // 128))
+            nbt = pcm_pack.wire_rows(out_len, self.channels)
             return ("dpack", out, nbt, out_len, total)
         # output is padded to the quantized out_len in every position mode;
         # the kept samples occupy the first `total` columns in order

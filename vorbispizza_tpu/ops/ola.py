@@ -108,9 +108,12 @@ def block_assemble(flat, evs, L, W: int | None = None):
         W = PHASE_W
     # the >>log2(W) / &(W-1) row-phase arithmetic below REQUIRES a
     # power-of-two W that divides L; PHASE_W is process-wide retunable,
-    # so fail loudly instead of producing silently wrong PCM
-    assert W > 0 and (W & (W - 1)) == 0, f"PHASE_W must be a power of two, got {W}"
-    assert L % W == 0, f"L={L} not a multiple of PHASE_W={W}"
+    # so fail loudly instead of producing silently wrong PCM (a raise,
+    # not an assert: it must survive python -O)
+    if W <= 0 or (W & (W - 1)) != 0:
+        raise ValueError(f"PHASE_W must be a power of two, got {W}")
+    if L % W != 0:
+        raise ValueError(f"L={L} not a multiple of PHASE_W={W}")
     ev_j, ev_da, ev_db, ev_va, ev_vb = evs
     C, Tf = flat.shape
     NB = L // W
@@ -212,8 +215,10 @@ def block_assemble_wide(flat, evs, L, W: int | None = None):
     element scatters over Ep*W flat columns."""
     if W is None:
         W = WIDE_W
-    assert W > 0 and (W & (W - 1)) == 0, f"W must be a power of two, got {W}"
-    assert L % W == 0, f"L={L} not a multiple of W={W}"
+    if W <= 0 or (W & (W - 1)) != 0:
+        raise ValueError(f"W must be a power of two, got {W}")
+    if L % W != 0:
+        raise ValueError(f"L={L} not a multiple of W={W}")
     ev_j, ev_da, ev_db, ev_va, ev_vb = evs
     C, Tf = flat.shape
     NB = L // W

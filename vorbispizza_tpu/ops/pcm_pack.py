@@ -48,6 +48,14 @@ MAX_W = WIDTHS[-1]
 WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
 
 
+def wire_rows(out_len: int, channels: int = 1) -> int:
+    """Width-byte rows of the dpack wire header for ``out_len`` samples:
+    one byte per BLOCK-sample block per channel ([nbytes][widx][payload]
+    layout). The single place wire geometry is derived from BLOCK — the
+    unpack/overflow sites must agree with pack_pcm byte for byte."""
+    return channels * (-(-out_len // BLOCK))
+
+
 
 def pair_partner(C: int) -> np.ndarray:
     """Per-channel inter-candidate partner (partner[c] == c means channel

@@ -242,9 +242,9 @@ def unpack_shard(row: np.ndarray, sig, channels: int, total: int):
     output = sig[5]
     out_len = sig[3]
     if output in ("s16d", "s16df"):
-        from ..ops.pcm_pack import PackOverflow, unpack_pcm
+        from ..ops.pcm_pack import PackOverflow, unpack_pcm, wire_rows
 
-        nbt = channels * (-(-out_len // 128))
+        nbt = wire_rows(out_len, channels)
         nb = int(np.asarray(row[:4]).view(np.int32)[0])
         if nb > row.shape[0] - 4 - nbt:
             # soft-capacity wire truncated on device (see
@@ -345,7 +345,9 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str =
                 # probe every shard's header first: if ANY shard's packed
                 # size overflows the soft wire capacity, re-run the whole
                 # group with the full-capacity pack (identical wire bytes)
-                nbt_w = channels * (-(-sig[3] // 128))
+                from ..ops.pcm_pack import wire_rows
+
+                nbt_w = wire_rows(sig[3], channels)
                 cap_w = int(out.shape[-1]) - 4 - nbt_w
                 over = any(
                     int(np.asarray(out[k][:4]).view(np.int32)[0]) > cap_w
