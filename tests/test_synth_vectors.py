@@ -52,6 +52,28 @@ def test_low_rate_mono(tmp_path):
     _cmp_oracle(encode_vorbis(sig, rate=8000, quality=0.1), tmp_path)
 
 
+@pytest.mark.parametrize(
+    "rate,channels,quality",
+    [
+        (8000, 2, -0.1),   # coupled low-rate floor/residue tuning at min q
+        (8000, 1, 1.0),    # low-rate max-quality codebook set
+        (11025, 1, 0.3),
+        (16000, 2, 0.5),
+        (32000, 2, 0.8),
+        (44100, 2, 1.0),   # max quality at the standard rate
+    ],
+)
+def test_rate_quality_matrix(rate, channels, quality, tmp_path):
+    """libvorbisenc selects a distinct setup vintage (codebooks, floor
+    curves, residue partitioning) per rate band; each (band, quality
+    corner) is a different header family the decoder must parse and
+    synthesize bit-accurately (reference corpora analog:
+    NVorbis.Tests/Utils/TestAssets.cs, unavailable offline)."""
+    sig = make_signal(channels, 0.4, rate=rate, kind="music",
+                      seed=40 + rate % 97 + channels)
+    _cmp_oracle(encode_vorbis(sig, rate=rate, quality=quality), tmp_path)
+
+
 @pytest.mark.parametrize("channels", [3, 4, 5, 7])
 def test_channel_layouts(channels, tmp_path):
     """3/4/5/7-channel encoder mappings: each count gets a distinct coupling
