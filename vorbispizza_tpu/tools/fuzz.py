@@ -102,6 +102,48 @@ def _decode_scalar(data: bytes):
     return out
 
 
+def _seek_trial(rng: np.random.Generator) -> str:
+    """Randomized seek differential vs native libvorbisfile: after seeking
+    both to the same sample, the next 512 samples must agree within the
+    s16 band (the tests/test_seek_oracle.py contract, randomized over
+    encoder configs, positions, and seek direction)."""
+    import os
+    import tempfile
+
+    from vorbispizza_tpu.reader import VorbisReader
+    from vorbispizza_tpu.testing.oracle import OracleDecoder
+
+    try:
+        data = _random_stream(rng)
+    except RuntimeError:
+        return "skip"
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "v.ogg")
+        with open(path, "wb") as f:
+            f.write(data)
+        nat = OracleDecoder(path)
+        r = VorbisReader(path, accelerated=bool(rng.random() < 0.5))
+        r.initialize()
+        total = min(r.total_samples, nat.total)
+        if total < 4096:
+            return "skip"
+        for pos in rng.integers(0, total - 1024, size=4):  # unsorted:
+            # backward seeks exercise the bisection restart + preroll
+            pos = int(pos)
+            nat.seek(pos)
+            want = nat.read_float_n(512)
+            r.seek_to(pos)
+            got = r.read_samples(512).T
+            m = min(want.shape[1], got.shape[1])
+            assert m >= 256, (pos, m)
+            dw = np.clip(np.rint(want[:, :m].astype(np.float64) * 32768.0),
+                         -32768, 32767)
+            dg = np.clip(np.rint(got[:, :m].astype(np.float64) * 32768.0),
+                         -32768, 32767)
+            assert np.abs(dg - dw).max() <= 2, pos
+    return "ok"
+
+
 def _one_trial(rng: np.random.Generator) -> str:
     """Returns 'ok' | 'skip' | 'reject'. Raises on contract violation."""
     from vorbispizza_tpu.errors import VorbisError
@@ -110,7 +152,9 @@ def _one_trial(rng: np.random.Generator) -> str:
     from vorbispizza_tpu.testing.encode import chain_streams, multiplex_streams
 
     shape = str(rng.choice(["single", "single", "corrupt", "corrupt", "corrupt",
-                            "chain", "mux", "chain_corrupt"]))
+                            "chain", "mux", "chain_corrupt", "seek", "seek"]))
+    if shape == "seek":
+        return _seek_trial(rng)
     try:
         if shape in ("chain", "mux", "chain_corrupt"):
             parts = [_random_stream(rng, serial=100 + k)
