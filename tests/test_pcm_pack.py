@@ -172,19 +172,20 @@ def test_inter_channel_blocks():
 
 
 def test_inter_channel_multichannel_pairs():
-    """Multichannel pairing (pair_partner): 5.1 pairs the correlated
-    front L/R (0,2) and rear Ls/Rs (3,4) per the Vorbis channel order
-    (L, C, R, Ls, Rs, LFE); other counts pair adjacently and leave a
-    trailing odd channel alone. Both unpackers reconstruct exactly."""
+    """Multichannel pairing (pair_partner): the 3/5/6/7/8-channel spec
+    orders pair the correlated front L/R (0,2), surrounds (3,4) and —
+    for 8 channels — rears (5,6), leaving center/LFE/rear-center
+    unpaired; other counts pair adjacently and leave a trailing odd
+    channel alone. Both unpackers reconstruct exactly."""
     from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy, pair_partner
 
     rng = np.random.default_rng(5)
     t = np.arange(20_000, dtype=np.float64)
     tone = 9000 * np.sin(2 * np.pi * 180 * t / 44100)
-    chans = [tone + 100 * rng.standard_normal(t.size) for _ in range(5)]
-    for C in (5, 6):
+    chans = [tone + 100 * rng.standard_normal(t.size) for _ in range(8)]
+    for C in (2, 3, 4, 5, 6, 7, 8):
         q = (
-            np.stack(chans[:C] + ([tone] if C == 6 else []))
+            np.stack(chans[:C])
             .round()
             .astype(np.int32)
             .clip(-32768, 32767)
@@ -292,6 +293,60 @@ def test_pull_wire_small_buffer_hint_undershoot():
     wire[4 + nbt : 4 + nbt + nb] = payload
     dev = jnp.asarray(wire)
     page0 = start_page0(dev, hint_bytes=10 * 1024)  # deliberate undershoot
+    got_nb, got_widx, got_data = pull_wire(dev, nbt, page0)
+    assert got_nb == nb
+    assert np.array_equal(got_widx, wire[4 : 4 + nbt])
+    assert np.array_equal(got_data, payload)
+
+
+def test_malformed_wire_fails_loudly():
+    """An integrity-violating wire (bad geometry, out-of-range width
+    class) must raise on BOTH unpack paths — the C++ unpacker's
+    rejections (frontend.cpp vp_unpack_pcm rc<0) must not fall through
+    to the numpy path and return silently truncated PCM."""
+    from vorbispizza_tpu import native
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+
+    L = 4 * BLOCK
+    C = 2
+    good_widx = np.zeros(C * 4, dtype=np.uint8)  # all width-0 blocks
+    payload = np.zeros(0, dtype=np.uint8)
+    # 1) wire covering fewer samples than L
+    short_widx = np.zeros(C * 3, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        _unpack_pcm_numpy(payload, short_widx, C, L)
+    if native.available():
+        with pytest.raises(ValueError):
+            native.unpack_pcm(payload, short_widx, C, L)
+    # 2) width class beyond the WIDTHS table
+    bad_widx = good_widx.copy()
+    bad_widx[1] = len(WIDTHS)  # class 12: invalid, bit5/6 clear
+    with pytest.raises(ValueError):
+        _unpack_pcm_numpy(payload, bad_widx, C, L)
+    if native.available():
+        with pytest.raises(ValueError):
+            native.unpack_pcm(payload, bad_widx, C, L)
+    # 3) widx not divisible by channel count
+    with pytest.raises(ValueError):
+        _unpack_pcm_numpy(payload, np.zeros(C * 4 + 1, dtype=np.uint8), C, L)
+
+
+def test_pull_wire_midrange_remainder():
+    """A 0.5-4 MB remainder after first-page undershoot pulls small
+    pages (bounded overshoot) and reassembles exactly."""
+    from vorbispizza_tpu.ops.pcm_pack import pull_wire, start_page0
+
+    nbt = 64
+    nb = int(1.5 * 1024 * 1024)
+    cap = 8 * 1024 * 1024
+    rng = np.random.default_rng(11)
+    wire = np.zeros(cap, dtype=np.uint8)
+    wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)
+    wire[4 : 4 + nbt] = rng.integers(0, 255, size=nbt, dtype=np.uint8)
+    payload = rng.integers(0, 255, size=nb, dtype=np.uint8)
+    wire[4 + nbt : 4 + nbt + nb] = payload
+    dev = jnp.asarray(wire)
+    page0 = start_page0(dev, hint_bytes=8 * 1024)  # deliberate undershoot
     got_nb, got_widx, got_data = pull_wire(dev, nbt, page0)
     assert got_nb == nb
     assert np.array_equal(got_widx, wire[4 : 4 + nbt])

@@ -701,7 +701,7 @@ class BatchSynthesizer:
                     # compaction gather); nbytes is exact either way, so
                     # a host seeing nbytes > capacity re-runs the chunk
                     # as "s16df" (full capacity, identical wire bytes).
-                    NBt = C * (sig[3] // pcm_pack.BLOCK)
+                    NBt = pcm_pack.wire_rows(sig[3], C)
                     cap = None
                     if output == "s16d":
                         cap = min(

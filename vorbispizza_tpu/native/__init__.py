@@ -283,7 +283,10 @@ def decode_packet_spans(
 def unpack_pcm(data: np.ndarray, widx: np.ndarray, channels: int, length: int):
     """Delta block-pack s16 unpack (frontend.cpp vp_unpack_pcm) ->
     int16 [channels, length], or None when the native library is missing
-    (callers fall back to the numpy unpack in ops/pcm_pack.py)."""
+    (callers fall back to the numpy unpack in ops/pcm_pack.py). A wire
+    the C++ side REJECTS (bad geometry / width class) raises instead of
+    returning None: falling through to the less-validated numpy path
+    would turn an integrity failure into silently truncated PCM."""
     lib = _load()
     if lib is None:
         return None
@@ -301,7 +304,10 @@ def unpack_pcm(data: np.ndarray, widx: np.ndarray, channels: int, length: int):
         min(os.cpu_count() or 1, max(int(channels), 1)),
     )
     if rc != 0:
-        return None
+        raise ValueError(
+            f"vp_unpack_pcm rejected the dpack wire (rc={rc}): "
+            f"nbt={widx.size} C={channels} L={length} nb={data.size}"
+        )
     return out
 
 

@@ -1018,14 +1018,18 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     };
     // channels decode per UNIT — a (stash, dependent) pair or a singleton
     // (the inter candidates reference the partner's d2 stream). Pairing
-    // must match ops/pcm_pack.py pair_partner: 5.1 (Vorbis channel order
-    // L,C,R,Ls,Rs,LFE) pairs the correlated (0,2) and (3,4); every other
-    // channel count pairs adjacently. Threading splits across units.
+    // must match ops/pcm_pack.py pair_partner (_PARTNERS): the 3/5/6/7/8
+    // spec channel orders interleave center/LFE with the correlated L/R
+    // and surround pairs, so those counts pair (0,2), (3,4) and — for 8
+    // channels — (5,6); every other count pairs adjacently. Threading
+    // splits across units.
     struct Unit { int a; int b; };  // b = -1 for singletons
     std::vector<Unit> units;
     {
         std::vector<int> partner(C, -1);
-        if (C == 6) { partner[2] = 0; partner[4] = 3; }
+        if (C == 3) { partner[2] = 0; }
+        else if (C >= 5 && C <= 7) { partner[2] = 0; partner[4] = 3; }
+        else if (C == 8) { partner[2] = 0; partner[4] = 3; partner[6] = 5; }
         else for (int64_t c = 1; c < C; c += 2) partner[c] = (int)(c - 1);
         std::vector<char> used(C, 0);
         for (int64_t c = 0; c < C; c++)

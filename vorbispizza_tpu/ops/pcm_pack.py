@@ -57,18 +57,31 @@ def wire_rows(out_len: int, channels: int = 1) -> int:
 
 
 
+#: spec channel orders (Vorbis I §4.3.9) put center/LFE between the
+#: correlated L/R and surround pairs; pair those, leave center/LFE/rear-
+#: center unpaired. 1/2/4ch orders are already adjacent-correlated; >8 is
+#: application-defined, adjacent fallback.
+_PARTNERS = {
+    3: (0, 1, 0),                   # L C R
+    5: (0, 1, 0, 3, 3),             # L C R Rl Rr
+    6: (0, 1, 0, 3, 3, 5),          # L C R Rl Rr LFE
+    7: (0, 1, 0, 3, 3, 5, 6),       # L C R Sl Sr Rc LFE
+    8: (0, 1, 0, 3, 3, 5, 5, 7),    # L C R Sl Sr Rl Rr LFE
+}
+
+
 def pair_partner(C: int) -> np.ndarray:
     """Per-channel inter-candidate partner (partner[c] == c means channel
-    c has no inter candidates). Vorbis 5.1 channel order is
-    (L, C, R, Ls, Rs, LFE) — adjacent pairing would couple uncorrelated
-    channels (L with center, Rs with LFE), so C==6 pairs the correlated
-    front L/R (0,2) and rear Ls/Rs (3,4); center and LFE stay unpaired.
-    Every other channel count pairs adjacently: (0,1), (2,3), …
-    Must match the partner tables in native/frontend.cpp vp_unpack_pcm
-    and _unpack_pcm_numpy (wire bit 6 = 'subtract THIS table's partner')."""
+    c has no inter candidates). Adjacent pairing would couple
+    uncorrelated channels on the 3/5/6/7/8-channel spec orders (e.g. L
+    with center, Rr with LFE), so those counts pair the correlated
+    front L/R and surround pairs per _PARTNERS; every other count pairs
+    adjacently: (0,1), (2,3), … Must match the partner table in
+    native/frontend.cpp vp_unpack_pcm (wire bit 6 = 'subtract THIS
+    table's partner'; _unpack_pcm_numpy calls this function)."""
+    if C in _PARTNERS:
+        return np.array(_PARTNERS[C])
     ch = np.arange(C)
-    if C == 6:
-        return np.array([0, 1, 0, 3, 3, 5])
     return np.where(ch % 2 == 1, ch - 1, ch)
 
 
@@ -334,9 +347,11 @@ def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
 
 
 #: page sizes for sized pulls: a few big pages + one small tail page keeps
-#: both per-call latency and overshoot bounded, with exactly TWO compiled
+#: both per-call latency and overshoot bounded with a handful of compiled
 #: programs per device-buffer shape (dynamic START, static SIZE — a
-#: python-sliced pull would compile one program per distinct length)
+#: python-sliced pull would compile one program per distinct length;
+#: start_page0's 256 KB-quantized hint sizing adds up to _PAGE_BIG/256K
+#: more sizes, each compiled once per buffer shape)
 _PAGE_BIG = 4 << 20
 _PAGE_SMALL = 512 << 10
 
@@ -415,7 +430,11 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
     a = max(take0, 0)
     pages = []
     while a < nb:
-        size = _PAGE_BIG if nb - a > _PAGE_SMALL and cap >= _PAGE_BIG else _PAGE_SMALL
+        # big pages only while >= _PAGE_BIG actually remains: a midrange
+        # remainder (0.5-4 MB) loops small pages instead of shipping up
+        # to ~3.5 MB of dead padding over the bandwidth-capped tunnel
+        # (the async launches below overlap the extra per-call latency)
+        size = _PAGE_BIG if nb - a >= _PAGE_BIG and cap >= _PAGE_BIG else _PAGE_SMALL
         # a hint-sized first page can undershoot on a wire buffer smaller
         # than _PAGE_SMALL: the remainder slice must still fit the buffer
         size = min(size, cap)
@@ -450,7 +469,18 @@ def unpack_pcm(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
 def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
     NBt = widx.shape[0]
     NB = NBt // C
+    # mirror the C++ unpacker's wire validations (frontend.cpp
+    # vp_unpack_pcm): a malformed wire must fail loudly on this path
+    # too, never return silently truncated PCM
+    if C <= 0 or NBt % C != 0:
+        raise ValueError(f"dpack wire geometry invalid: nbt={NBt} C={C}")
+    if NB * BLOCK < L:
+        raise ValueError(f"dpack wire covers {NB * BLOCK} < L={L} samples")
     wclass = (widx & 0x1F).astype(np.int64)
+    if wclass.size and int(wclass.max()) >= len(WIDTHS):
+        raise ValueError(
+            f"dpack width class {int(wclass.max())} out of range"
+        )
     ord3 = ((widx >> 5) & 1).astype(bool)
     ws = np.asarray(WIDTHS, dtype=np.int64)
     bpb = ws[wclass] * BLOCK // 8  # bytes per block
