@@ -63,6 +63,53 @@ def expand_assemble(flat, evs, L):
     return gather_assemble(flat, a_idx, a_valid, b_idx, b_valid)
 
 
+def _check_w(W: int, L: int) -> None:
+    # the >>log2(W) / &(W-1) row-phase arithmetic REQUIRES a power-of-two
+    # W that divides L; W is process-wide retunable, so fail loudly
+    # instead of producing silently wrong PCM (a raise, not an assert:
+    # it must survive python -O)
+    if W <= 0 or (W & (W - 1)) != 0:
+        raise ValueError(f"W must be a power of two, got {W}")
+    if L % W != 0:
+        raise ValueError(f"L={L} not a multiple of W={W}")
+
+
+def _event_geometry(flat, evs, L, W):
+    """Shared prelude of both block formulations: per-event block/offset
+    coordinates, the [Ep, W] coverage mask (event k covers [off_k,
+    o_next_k) within its block; events arrive j-sorted), and flat viewed
+    as W-wide rows with one zero row appended (OOB row takes fill 0).
+    Padding events carry j = L -> blk = NB; scatters drop them."""
+    ev_j = evs[0]
+    C, Tf = flat.shape
+    NB = L // W
+    blk = ev_j // W
+    off = ev_j - blk * W
+    tw = jnp.arange(W, dtype=jnp.int32)
+    nxt_same = jnp.concatenate([blk[1:] == blk[:-1], jnp.zeros(1, dtype=bool)])
+    o_next = jnp.where(nxt_same, jnp.concatenate([off[1:], off[:1]]), jnp.int32(W))
+    emask = (
+        (tw[None, :] >= off[:, None]) & (tw[None, :] < o_next[:, None])
+    ).astype(jnp.float32)  # [Ep, W]
+    TfR = -(-(Tf + 1) // W)
+    flat_r = jnp.pad(flat, ((0, 0), (0, TfR * W - Tf))).reshape(C, TfR, W)
+    return C, NB, blk, tw, emask, flat_r
+
+
+def _block_levels(blk, dv, vv, NB, W):
+    """Per-block chain state at t=0: exclusive prefix over per-block event
+    totals gives the side's gather start index and validity for the bulk
+    (start may be negative in invalid regions; validity zeroes whatever
+    the clamped take returns)."""
+    d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
+    d_pre = jnp.cumsum(d_tot) - d_tot
+    v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
+    v_pre = jnp.cumsum(v_tot) - v_tot
+    start = jnp.arange(NB, dtype=jnp.int32) * W + d_pre  # a_idx at t=0
+    bval = (v_pre > 0).astype(jnp.float32)
+    return start, bval
+
+
 def block_assemble(flat, evs, L, W: int | None = None):
     """Phase-decomposed OLA assembly, bit-identical to expand_assemble.
 
@@ -106,33 +153,9 @@ def block_assemble(flat, evs, L, W: int | None = None):
     """
     if W is None:
         W = PHASE_W
-    # the >>log2(W) / &(W-1) row-phase arithmetic below REQUIRES a
-    # power-of-two W that divides L; PHASE_W is process-wide retunable,
-    # so fail loudly instead of producing silently wrong PCM (a raise,
-    # not an assert: it must survive python -O)
-    if W <= 0 or (W & (W - 1)) != 0:
-        raise ValueError(f"PHASE_W must be a power of two, got {W}")
-    if L % W != 0:
-        raise ValueError(f"L={L} not a multiple of PHASE_W={W}")
-    ev_j, ev_da, ev_db, ev_va, ev_vb = evs
-    C, Tf = flat.shape
-    NB = L // W
-    blk = ev_j // W
-    off = ev_j - blk * W
-    tw = jnp.arange(W, dtype=jnp.int32)
-    # coverage of event k: [off_k, o_next_k) within its block
-    nxt_same = jnp.concatenate(
-        [blk[1:] == blk[:-1], jnp.zeros(1, dtype=bool)]
-    )
-    o_next = jnp.where(
-        nxt_same, jnp.concatenate([off[1:], off[:1]]), jnp.int32(W)
-    )
-    emask = (
-        (tw[None, :] >= off[:, None]) & (tw[None, :] < o_next[:, None])
-    ).astype(jnp.float32)  # [Ep, W]
-    # flat as W-wide rows (one zero row appended; OOB row takes fill 0)
-    TfR = -(-(Tf + 1) // W)
-    flat_r = jnp.pad(flat, ((0, 0), (0, TfR * W - Tf))).reshape(C, TfR, W)
+    _check_w(W, L)
+    _, ev_da, ev_db, ev_va, ev_vb = evs
+    C, NB, blk, tw, emask, flat_r = _event_geometry(flat, evs, L, W)
     cols = ((blk * W)[:, None] + tw[None, :]).reshape(-1)  # event columns
     # keep = 1 where no event covers the sample (coverages are disjoint)
     keep = (
@@ -143,16 +166,9 @@ def block_assemble(flat, evs, L, W: int | None = None):
     )[None, :]
 
     def side(dv, vv):
-        # block-start levels: exclusive prefix over per-block event totals
-        d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
-        d_pre = jnp.cumsum(d_tot) - d_tot
-        v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
-        v_pre = jnp.cumsum(v_tot) - v_tot
-        start = jnp.arange(NB, dtype=jnp.int32) * W + d_pre  # a_idx at t=0
-        bval = (v_pre > 0).astype(jnp.float32)
-        # bulk: rows r, r+1 lane-selected by phase (start may be negative
-        # in invalid regions: arithmetic >> floors, & gives the phase, and
-        # validity zeroes whatever the clamped take returns)
+        start, bval = _block_levels(blk, dv, vv, NB, W)
+        # bulk: rows r, r+1 lane-selected by phase (this formulation's
+        # W-way where chain; block_assemble_wide uses the barrel shifter)
         r = start >> int(np.log2(W))  # arithmetic shift: floor for negatives
         ph = start & (W - 1)
         rowa = jnp.take(flat_r, r, axis=1, mode="fill", fill_value=0.0)
@@ -215,33 +231,14 @@ def block_assemble_wide(flat, evs, L, W: int | None = None):
     element scatters over Ep*W flat columns."""
     if W is None:
         W = WIDE_W
-    if W <= 0 or (W & (W - 1)) != 0:
-        raise ValueError(f"W must be a power of two, got {W}")
-    if L % W != 0:
-        raise ValueError(f"L={L} not a multiple of W={W}")
-    ev_j, ev_da, ev_db, ev_va, ev_vb = evs
-    C, Tf = flat.shape
-    NB = L // W
-    blk = ev_j // W
-    off = ev_j - blk * W
-    tw = jnp.arange(W, dtype=jnp.int32)
-    nxt_same = jnp.concatenate([blk[1:] == blk[:-1], jnp.zeros(1, dtype=bool)])
-    o_next = jnp.where(nxt_same, jnp.concatenate([off[1:], off[:1]]), jnp.int32(W))
-    emask = (
-        (tw[None, :] >= off[:, None]) & (tw[None, :] < o_next[:, None])
-    ).astype(jnp.float32)  # [Ep, W]
-    TfR = -(-(Tf + 1) // W)
-    flat_r = jnp.pad(flat, ((0, 0), (0, TfR * W - Tf))).reshape(C, TfR, W)
+    _check_w(W, L)
+    _, ev_da, ev_db, ev_va, ev_vb = evs
+    C, NB, blk, _tw, emask, flat_r = _event_geometry(flat, evs, L, W)
     # padding events carry j = L -> blk = NB: row scatters drop them
     keep = 1.0 - jnp.zeros((NB, W), jnp.float32).at[blk].add(emask, mode="drop")
 
     def side(dv, vv):
-        d_tot = jnp.zeros(NB, jnp.int32).at[blk].add(dv, mode="drop")
-        d_pre = jnp.cumsum(d_tot) - d_tot
-        v_tot = jnp.zeros(NB, jnp.int32).at[blk].add(vv, mode="drop")
-        v_pre = jnp.cumsum(v_tot) - v_tot
-        start = jnp.arange(NB, dtype=jnp.int32) * W + d_pre
-        bval = (v_pre > 0).astype(jnp.float32)
+        start, bval = _block_levels(blk, dv, vv, NB, W)
         approx = _row_phase_take(flat_r, start, W) * bval[None, :, None]
         start_e = blk * W + jnp.cumsum(dv)  # event-window starts [Ep]
         v_cur = (jnp.cumsum(vv) > 0).astype(jnp.float32)[:, None]
