@@ -320,3 +320,32 @@ def test_sharded_corpus_on_error_none():
     assert outs[1] is None
     single = decode_corpus([good], output="s16")[0]
     assert np.array_equal(outs[0], single)
+
+
+def test_corpus_timer_without_mark_not_mutated():
+    """A caller-supplied timer lacking mark() (older DecodeTimer shape,
+    possibly slotted) is wrapped, not monkey-patched: the caller's
+    object gains no attributes and the decode still works."""
+    import contextlib
+
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    class SlimTimer:
+        __slots__ = ("stages",)
+
+        def __init__(self):
+            self.stages = {}
+
+        @contextlib.contextmanager
+        def stage(self, name):
+            yield
+            self.stages[name] = True
+
+        def count(self, name, v=1):
+            pass
+
+    t = SlimTimer()
+    good = encode_vorbis(make_signal(2, 0.3, kind="sine", seed=7), quality=0.3)
+    outs = decode_corpus([good], output="s16", timer=t)
+    assert outs[0] is not None and not hasattr(t, "mark")
+    assert t.stages  # stages flowed through the adapter
