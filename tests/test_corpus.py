@@ -349,3 +349,35 @@ def test_corpus_timer_without_mark_not_mutated():
     outs = decode_corpus([good], output="s16", timer=t)
     assert outs[0] is not None and not hasattr(t, "mark")
     assert t.stages  # stages flowed through the adapter
+
+
+def _headers_only_stream(seed=1):
+    """Valid ident/comment/setup headers, zero audio pages: the scalar
+    decoder yields [C, 0]; plans have no frames."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(make_signal(2, 0.3, kind="sine", seed=seed), quality=0.3)
+    offs, i = [], 0
+    while True:
+        j = data.find(b"OggS", i)
+        if j < 0:
+            break
+        offs.append(j)
+        i = j + 4
+    return data[: offs[2]]
+
+
+def test_corpus_zero_frame_stream():
+    """A headers-only member (no decodable audio frames) must decode to
+    an empty array via the scalar fallback, alone and sharing a corpus
+    with normal streams — not crash the fused-program builder
+    (regression: tools/fuzz corpus trial seed 61010)."""
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    empty = _headers_only_stream()
+    outs = decode_corpus([empty], output="s16")
+    assert outs[0].shape == (2, 0)
+    good = encode_vorbis(make_signal(2, 0.3, kind="sine", seed=2), quality=0.3)
+    outs = decode_corpus([empty, good], output="s16")
+    assert outs[0].shape == (2, 0) and outs[1].shape[1] > 0
+    assert decode_corpus([empty], output="f32")[0].shape == (2, 0)

@@ -254,3 +254,20 @@ def test_sharded_corpus_overflow_redispatch():
     single = decode_corpus(corpus, output="s16")
     for a, b in zip(sharded, single):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_corpus_all_zero_frame_group():
+    """An all-headers-only group has no fused program; every slot falls
+    back to the scalar anchor (regression alongside the single-device
+    zero-frame guard)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+    from tests.test_corpus import _headers_only_stream
+
+    empty = _headers_only_stream()
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), axis_names=("stream",))
+    outs = decode_corpus_sharded([empty, empty], mesh, output="s16")
+    assert [o.shape for o in outs] == [(2, 0), (2, 0)]

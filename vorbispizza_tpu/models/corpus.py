@@ -514,6 +514,15 @@ def decode_corpus(
             # merged copies exist now: release the per-stream plan/bucket
             # arrays so corpus memory stays bounded by chunk size
             del fronts_by_idx[i]
+        if plan_m.n_frames == 0:
+            # a chunk with no decodable audio frames at all (e.g. every
+            # audio page of a corrupt member rejected, or a headers-only
+            # stream): there is no fused program over an empty frame set;
+            # the scalar anchor is authoritative for degenerate streams
+            # (found by tools/fuzz corpus trials, seed 61010)
+            for i in chunk:
+                outs[i] = scalar_or_failed(i)
+            return
         dev = devices[n_dispatched % len(devices)] if devices else None
         n_dispatched += 1
         try:

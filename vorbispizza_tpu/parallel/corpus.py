@@ -333,6 +333,14 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str =
         for i in idxs[1:]:
             synth.add_setup(fronts[i][0])
         costs = [fronts[i][2].n_frames for i in idxs]
+        if sum(costs) == 0:
+            # no decodable audio frames anywhere in this group (e.g.
+            # headers-only streams): no fused program exists over an
+            # empty frame set — the scalar anchor is authoritative
+            # (same guard as decode_corpus's dispatch)
+            for i in idxs:
+                outs[i] = scalar_or_failed(i)
+            continue
         parts = partition_indices(costs, n_shards)
         shard_items = [
             [fronts[idxs[j]][2:4] for j in part] for part in parts
