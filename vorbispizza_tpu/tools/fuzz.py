@@ -17,6 +17,9 @@ CPU-only — forces jax_platforms=cpu so idle fuzzing never touches the
 tunnel or the chip's jit cache entries.
 
 Usage: python -m vorbispizza_tpu.tools.fuzz [budget_seconds=300] [seed0=0]
+           [shapes]
+``shapes`` (optional) is a comma-list restricting the trial pool (e.g.
+``corpus`` or ``seek,corrupt``) for targeted regression hunting.
 Exit status 1 if any trial failed.
 """
 
@@ -198,16 +201,20 @@ def _corpus_trial(rng: np.random.Generator) -> str:
     return "ok"
 
 
-def _one_trial(rng: np.random.Generator) -> str:
+#: default trial pool (weights = repetition)
+SHAPES = ("single", "single", "corrupt", "corrupt", "corrupt",
+          "chain", "mux", "chain_corrupt", "seek", "seek",
+          "corpus", "corpus")
+
+
+def _one_trial(rng: np.random.Generator, shapes=SHAPES) -> str:
     """Returns 'ok' | 'skip' | 'reject'. Raises on contract violation."""
     from vorbispizza_tpu.errors import VorbisError
     from vorbispizza_tpu.frames import BatchUnsupported
     from vorbispizza_tpu.models.pipeline import decode_file_batch
     from vorbispizza_tpu.testing.encode import chain_streams, multiplex_streams
 
-    shape = str(rng.choice(["single", "single", "corrupt", "corrupt", "corrupt",
-                            "chain", "mux", "chain_corrupt", "seek", "seek",
-                            "corpus", "corpus"]))
+    shape = str(rng.choice(list(shapes)))
     if shape == "seek":
         return _seek_trial(rng)
     if shape == "corpus":
@@ -254,6 +261,14 @@ def _one_trial(rng: np.random.Generator) -> str:
 def main() -> int:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 300.0
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if len(sys.argv) > 3:
+        want = set(sys.argv[3].split(","))
+        unknown = want - set(SHAPES)
+        if unknown:
+            raise SystemExit(f"unknown shapes: {sorted(unknown)}")
+        shapes = tuple(s for s in SHAPES if s in want)
+    else:
+        shapes = SHAPES
     _force_cpu()
     t0 = time.time()
     stats = {"ok": 0, "skip": 0, "reject": 0, "fail": 0, "slow": 0}
@@ -263,7 +278,7 @@ def main() -> int:
         rng = np.random.default_rng(seed)
         t1 = time.time()
         try:
-            stats[_one_trial(rng)] += 1
+            stats[_one_trial(rng, shapes)] += 1
         except Exception:
             stats["fail"] += 1
             print(f"FAIL seed={seed} (repro: tools.fuzz 1 {seed})")
