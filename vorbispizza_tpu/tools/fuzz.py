@@ -41,6 +41,14 @@ _CHANNELS = (1, 2, 3, 4, 5, 6, 8)
 
 
 def _force_cpu():
+    import os
+
+    # virtual CPU devices BEFORE the first jax import: the corpus trial
+    # round-robins devices and the sharded trial builds a stream mesh
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -163,6 +171,8 @@ def _corpus_trial(rng: np.random.Generator) -> str:
     from vorbispizza_tpu.models.corpus import decode_corpus
     from vorbispizza_tpu.reader import VorbisReader
 
+    import jax
+
     n = int(rng.integers(2, 6))
     sources = []
     for k in range(n):
@@ -176,9 +186,15 @@ def _corpus_trial(rng: np.random.Generator) -> str:
     if len(sources) < 2:
         return "skip"
     output = str(rng.choice(["s16", "f32"]))
+    devices = None
+    if rng.random() < 0.3:  # multi-device round-robin dispatch
+        devs = jax.devices()
+        if len(devs) >= 2:
+            devices = devs[: int(rng.integers(2, len(devs) + 1))]
     outs = decode_corpus(
         sources, output=output, on_error="none",
         max_batch_bytes=int(rng.integers(1, 5)) << 20,
+        devices=devices,
     )
     for src, got in zip(sources, outs):
         try:
@@ -201,10 +217,62 @@ def _corpus_trial(rng: np.random.Generator) -> str:
     return "ok"
 
 
+def _sharded_trial(rng: np.random.Generator) -> str:
+    """decode_corpus_sharded over a virtual stream mesh vs per-file
+    scalar: exercises LPT balancing, signature unification across
+    shards, psum wire folding, and the degradation ladder under the
+    same randomized compositions as the corpus trial."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vorbispizza_tpu.errors import VorbisError
+    from vorbispizza_tpu.parallel.corpus import decode_corpus_sharded
+    from vorbispizza_tpu.reader import VorbisReader
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        return "skip"
+    n_mesh = int(rng.choice([2, len(devs)]))
+    mesh = Mesh(np.array(devs[:n_mesh]), axis_names=("stream",))
+    sources = []
+    for k in range(int(rng.integers(2, 6))):
+        try:
+            s = _random_stream(rng, serial=300 + k)
+        except RuntimeError:
+            continue
+        if rng.random() < 0.2:
+            s = _corrupt(rng, s)
+        sources.append(s)
+    if len(sources) < 2:
+        return "skip"
+    output = str(rng.choice(["s16", "f32"]))
+    outs = decode_corpus_sharded(sources, mesh, output=output,
+                                 on_error="none")
+    for src, got in zip(sources, outs):
+        try:
+            r = VorbisReader(src)
+            r.initialize()
+            ref = r.read_all(planar=True)
+        except VorbisError:
+            continue
+        assert got is not None, "sharded corpus dropped a decodable file"
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        if not got.size:
+            continue
+        if output == "f32":
+            ref = np.clip(ref, -0.99999994, 0.99999994)
+            assert np.abs(got - ref).max() <= 2e-6
+        else:
+            q = np.clip(np.rint(ref.astype(np.float64) * 32768.0),
+                        -32768, 32767)
+            assert np.abs(got.astype(np.int32) - q.astype(np.int32)).max() <= 2
+    return "ok"
+
+
 #: default trial pool (weights = repetition)
 SHAPES = ("single", "single", "corrupt", "corrupt", "corrupt",
           "chain", "mux", "chain_corrupt", "seek", "seek",
-          "corpus", "corpus")
+          "corpus", "corpus", "sharded")
 
 
 def _one_trial(rng: np.random.Generator, shapes=SHAPES) -> str:
@@ -219,6 +287,8 @@ def _one_trial(rng: np.random.Generator, shapes=SHAPES) -> str:
         return _seek_trial(rng)
     if shape == "corpus":
         return _corpus_trial(rng)
+    if shape == "sharded":
+        return _sharded_trial(rng)
     try:
         if shape in ("chain", "mux", "chain_corrupt"):
             parts = [_random_stream(rng, serial=100 + k)
