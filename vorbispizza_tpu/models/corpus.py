@@ -550,16 +550,18 @@ def decode_corpus(
 
                 # launch the wire's header page now: its slice program
                 # queues right behind this chunk's execution, ahead of
-                # later chunks' programs. Size it from a host-side
-                # estimate (~30% of raw s16 on music; measured 15-21%):
-                # the buffer's padded capacity is ~2x the payload and a
-                # fixed-size first page ships that padding over the link
-                fmt_nbt, fmt_total = merged_out[2], merged_out[4]
-                hint = 4 + fmt_nbt + int(
-                    0.30 * fmt_total * synth.channels * 2
-                )
+                # later chunks' programs. Sized to the HEADER (+whatever
+                # payload head rides the 256 KB quantum): the collector
+                # reads the exact nbytes from it and pulls the remainder
+                # exact-sized, so padding per chunk is ≤256 KB — the
+                # earlier 0.30*raw estimate shipped the estimate-minus-
+                # payload gap (~1-1.5 MB/chunk) as dead bytes the d2h
+                # counter never saw. Pulls serialize back-to-back across
+                # chunks, so the later remainder launch costs no pipe
+                # idle time beyond chunk 0's exposure.
+                fmt_nbt = merged_out[2]
                 merged_out = merged_out + (
-                    start_page0(merged_out[1], hint),
+                    start_page0(merged_out[1], 4 + fmt_nbt),
                 )
 
                 def rerun_full(chunk=chunk, dev=dev):

@@ -346,14 +346,12 @@ def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
     return packed, nbytes, wout
 
 
-#: page sizes for sized pulls: a few big pages + one small tail page keeps
-#: both per-call latency and overshoot bounded with a handful of compiled
-#: programs per device-buffer shape (dynamic START, static SIZE — a
-#: python-sliced pull would compile one program per distinct length;
-#: start_page0's 256 KB-quantized hint sizing adds up to _PAGE_BIG/256K
-#: more sizes, each compiled once per buffer shape)
+#: page sizes for sized pulls: big pages while >= _PAGE_BIG of payload
+#: remains, then one exact 256 KB-quantized tail (dynamic START, static
+#: SIZE — a python-sliced pull would compile one program per distinct
+#: length; the quantized sizes bound the set at _PAGE_BIG/256K programs
+#: per buffer shape, each compiled once and cached persistently)
 _PAGE_BIG = 4 << 20
-_PAGE_SMALL = 512 << 10
 
 _page_fns: dict = {}
 
@@ -429,15 +427,19 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
     off = 4 + nbt  # device offset of the payload
     a = max(take0, 0)
     pages = []
+    q = 256 << 10
     while a < nb:
-        # big pages only while >= _PAGE_BIG actually remains: a midrange
-        # remainder (0.5-4 MB) loops small pages instead of shipping up
-        # to ~3.5 MB of dead padding over the bandwidth-capped tunnel
-        # (the async launches below overlap the extra per-call latency)
-        size = _PAGE_BIG if nb - a >= _PAGE_BIG and cap >= _PAGE_BIG else _PAGE_SMALL
-        # a hint-sized first page can undershoot on a wire buffer smaller
-        # than _PAGE_SMALL: the remainder slice must still fit the buffer
-        size = min(size, cap)
+        # big pages while >= _PAGE_BIG remains, then ONE exact
+        # 256 KB-quantized tail page: nb is known here (the header rode
+        # the first page), so the remainder ships ≤256 KB of padding —
+        # bytes are the shared-pipe currency, and each distinct
+        # quantized size compiles its slice program once (≤16 sizes)
+        if nb - a >= _PAGE_BIG and cap >= _PAGE_BIG:
+            size = _PAGE_BIG
+        else:
+            # min() with cap: the quantized tail must still fit a wire
+            # buffer smaller than one quantum
+            size = min(cap, -(-(nb - a) // q) * q)
         start = min(off + a, cap - size)
         page = _page_fn(size)(dev, start)
         try:
