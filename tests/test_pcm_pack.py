@@ -284,7 +284,8 @@ def test_pull_wire_small_buffer_hint_undershoot():
 
     nbt = 64
     nb = 300 * 1024
-    cap = 400 * 1024  # between the 256 KB quantum and _PAGE_SMALL (512 KB)
+    cap = 400 * 1024  # between one 256 KB quantum and two: the quantized
+    # tail slice must clamp to the buffer
     rng = np.random.default_rng(9)
     wire = np.empty(cap, dtype=np.uint8)
     wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)

@@ -519,7 +519,9 @@ def decode_corpus(
             # audio page of a corrupt member rejected, or a headers-only
             # stream): there is no fused program over an empty frame set;
             # the scalar anchor is authoritative for degenerate streams
-            # (found by tools/fuzz corpus trials, seed 61010)
+            # (found by tools/fuzz corpus trials, seed 61010). Claim the
+            # cid anyway so the next chunk's timeline marks stay unique.
+            n_dispatched += 1
             for i in chunk:
                 outs[i] = scalar_or_failed(i)
             return

@@ -352,6 +352,9 @@ def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
 #: length; the quantized sizes bound the set at _PAGE_BIG/256K programs
 #: per buffer shape, each compiled once and cached persistently)
 _PAGE_BIG = 4 << 20
+#: slice-size quantum shared by start_page0 and pull_wire's tail: both
+#: must agree or the compiled-size set doubles
+_PAGE_QUANTUM = 256 << 10
 
 _page_fns: dict = {}
 
@@ -385,7 +388,7 @@ def start_page0(dev: "jnp.ndarray", hint_bytes: int | None = None):
     if hint_bytes is None:
         size = _PAGE_BIG
     else:
-        q = 256 << 10
+        q = _PAGE_QUANTUM
         size = min(_PAGE_BIG, -(-max(int(hint_bytes), 1) // q) * q)
     page = dev if cap <= size else _page_fn(size)(dev, 0)
     try:
@@ -427,7 +430,7 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
     off = 4 + nbt  # device offset of the payload
     a = max(take0, 0)
     pages = []
-    q = 256 << 10
+    q = _PAGE_QUANTUM
     while a < nb:
         # big pages while >= _PAGE_BIG remains, then ONE exact
         # 256 KB-quantized tail page: nb is known here (the header rode

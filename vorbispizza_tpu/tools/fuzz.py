@@ -158,6 +158,35 @@ def _seek_trial(rng: np.random.Generator) -> str:
     return "ok"
 
 
+def _verify_against_scalar(sources, outs, output, label):
+    """Shared contract check for the corpus-family trials: a None slot is
+    acceptable only when the scalar decoder also rejects; when both
+    produce PCM they must agree (f32 within the 2e-6 CPU budget, s16
+    within 2 LSB — the scalar fallback quantizes from f64, see
+    models/corpus.py)."""
+    from vorbispizza_tpu.errors import VorbisError
+    from vorbispizza_tpu.reader import VorbisReader
+
+    for src, got in zip(sources, outs):
+        try:
+            r = VorbisReader(src)
+            r.initialize()
+            ref = r.read_all(planar=True)  # first logical stream
+        except VorbisError:
+            continue  # scalar rejects: any corpus outcome is in contract
+        assert got is not None, f"{label} dropped a file the scalar decodes"
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        if not got.size:
+            continue
+        if output == "f32":
+            ref = np.clip(ref, -0.99999994, 0.99999994)
+            assert np.abs(got - ref).max() <= 2e-6
+        else:
+            q = np.clip(np.rint(ref.astype(np.float64) * 32768.0),
+                        -32768, 32767)
+            assert np.abs(got.astype(np.int32) - q.astype(np.int32)).max() <= 2
+
+
 def _corpus_trial(rng: np.random.Generator) -> str:
     """Randomized corpus composition through decode_corpus: mixed
     channels/rates/qualities (shared and distinct setups), a possibly
@@ -196,24 +225,7 @@ def _corpus_trial(rng: np.random.Generator) -> str:
         max_batch_bytes=int(rng.integers(1, 5)) << 20,
         devices=devices,
     )
-    for src, got in zip(sources, outs):
-        try:
-            r = VorbisReader(src)
-            r.initialize()
-            ref = r.read_all(planar=True)  # first logical stream
-        except VorbisError:
-            continue  # scalar rejects: any corpus outcome is in contract
-        assert got is not None, "corpus dropped a file the scalar decodes"
-        assert got.shape == ref.shape, (got.shape, ref.shape)
-        if not got.size:
-            continue
-        if output == "f32":
-            ref = np.clip(ref, -0.99999994, 0.99999994)
-            assert np.abs(got - ref).max() <= 2e-6
-        else:
-            q = np.clip(np.rint(ref.astype(np.float64) * 32768.0),
-                        -32768, 32767)
-            assert np.abs(got.astype(np.int32) - q.astype(np.int32)).max() <= 2
+    _verify_against_scalar(sources, outs, output, "corpus")
     return "ok"
 
 
@@ -248,24 +260,7 @@ def _sharded_trial(rng: np.random.Generator) -> str:
     output = str(rng.choice(["s16", "f32"]))
     outs = decode_corpus_sharded(sources, mesh, output=output,
                                  on_error="none")
-    for src, got in zip(sources, outs):
-        try:
-            r = VorbisReader(src)
-            r.initialize()
-            ref = r.read_all(planar=True)
-        except VorbisError:
-            continue
-        assert got is not None, "sharded corpus dropped a decodable file"
-        assert got.shape == ref.shape, (got.shape, ref.shape)
-        if not got.size:
-            continue
-        if output == "f32":
-            ref = np.clip(ref, -0.99999994, 0.99999994)
-            assert np.abs(got - ref).max() <= 2e-6
-        else:
-            q = np.clip(np.rint(ref.astype(np.float64) * 32768.0),
-                        -32768, 32767)
-            assert np.abs(got.astype(np.int32) - q.astype(np.int32)).max() <= 2
+    _verify_against_scalar(sources, outs, output, "sharded corpus")
     return "ok"
 
 
@@ -343,6 +338,7 @@ def main() -> int:
     t0 = time.time()
     stats = {"ok": 0, "skip": 0, "reject": 0, "fail": 0, "slow": 0}
     trial = 0
+    shape_arg = f" {sys.argv[3]}" if len(sys.argv) > 3 else ""
     while time.time() - t0 < budget:
         seed = seed0 + trial
         rng = np.random.default_rng(seed)
@@ -351,13 +347,26 @@ def main() -> int:
             stats[_one_trial(rng, shapes)] += 1
         except Exception:
             stats["fail"] += 1
-            print(f"FAIL seed={seed} (repro: tools.fuzz 1 {seed})")
+            # repro must carry the SAME shape filter: the pool size
+            # changes how the seed's rng draws map to a trial
+            print(f"FAIL seed={seed} (repro: tools.fuzz 1 {seed}{shape_arg})",
+                  flush=True)
             traceback.print_exc()
         dt = time.time() - t1
         if dt > _SLOW_S:
             stats["slow"] += 1
-            print(f"SLOW seed={seed} took {dt:.1f}s")
+            print(f"SLOW seed={seed} took {dt:.1f}s", flush=True)
         trial += 1
+        if trial % 25 == 0:
+            # every composition traces a fresh program family; an
+            # unbounded per-process jit cache OOM-killed a 2 h soak
+            # (LLVM "Cannot allocate memory" -> SIGSEGV). Disk-cached
+            # programs reload cheaply, so drop the in-memory set.
+            import jax
+
+            jax.clear_caches()
+        if trial % 50 == 0:
+            print(f"fuzz progress: {trial} trials: {stats}", flush=True)
     print(f"fuzz: {trial} trials in {time.time()-t0:.0f}s: {stats}")
     return 1 if stats["fail"] else 0
 
