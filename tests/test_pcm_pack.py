@@ -9,13 +9,29 @@ import pytest
 from vorbispizza_tpu.ops.pcm_pack import BLOCK, WIDTHS, pack_pcm, unpack_pcm
 
 
-def roundtrip(q: np.ndarray) -> int:
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
-    nb = int(nbytes)
-    got = unpack_pcm(
-        np.asarray(packed[:nb]), np.asarray(widx), q.shape[0], q.shape[1]
+def pack_parts(q):
+    """jit pack -> host (data, widx, cuts, nb)."""
+    payload, nbytes, widx, cuts = jax.jit(pack_pcm)(
+        jnp.asarray(q, dtype=jnp.int32)
     )
+    nb = int(nbytes)
+    return np.asarray(payload[:nb]), np.asarray(widx), np.asarray(cuts), nb
+
+
+def roundtrip(q: np.ndarray) -> int:
+    from vorbispizza_tpu.ops.pcm_pack import _unpack_pcm_numpy
+
+    payload, nbytes, widx, cuts = jax.jit(pack_pcm)(
+        jnp.asarray(q, dtype=jnp.int32)
+    )
+    nb = int(nbytes)
+    data = np.asarray(payload[:nb])
+    widx_h = np.asarray(widx)
+    cuts_h = np.asarray(cuts)
+    got = unpack_pcm(data, widx_h, q.shape[0], q.shape[1], cuts_h)
     assert np.array_equal(got, q.astype(np.int16)), "round-trip mismatch"
+    got_np = _unpack_pcm_numpy(data, widx_h, q.shape[0], q.shape[1], cuts_h)
+    assert np.array_equal(got_np, q.astype(np.int16)), "numpy mismatch"
     return nb
 
 
@@ -66,10 +82,15 @@ def test_compresses_smooth_audio():
 def test_every_width_exercised():
     """One block per width class, constructed in d2 space.
 
-    Each block's d2 pattern sums to zero in both d1 and q so blocks are
-    independent — except the width-1 block (d2 in {0,-1} only cannot sum
-    to zero), which leaves a -1 slope that the final width-2 block (+1)
-    repairs; q drifts by ~BLOCK in between, still well inside s16."""
+    Every block must be DENSE at its magnitude: rice mode legitimately
+    claims sparse-spike blocks (128 + sum(z) bits beats BLOCK*w), so a
+    block only lands on width rung w when most samples need w bits. The
+    dense period-4 pattern [m, -m, -m, m] is neutral in d1 and q with
+    q <= m; rung 11 (width 18) uses full-scale rail alternation (the
+    only q-realizable d2 of that magnitude); width 1 (d2 in {0,-1}
+    cannot sum to zero) leaves a -1 slope repaired by a final +1 spike
+    (which rice may claim at k=0 — rung 0 is covered by the zeros
+    block either way)."""
     blocks = []
 
     def blk(*spikes):
@@ -78,27 +99,33 @@ def test_every_width_exercised():
             b[pos] = v
         blocks.append(b)
 
-    blk()  # width 0
+    blk()  # width 0 (rung 0)
     for w in [w for w in WIDTHS if 2 <= w <= 16]:
-        # zigzag(-2B) = 4B-1 = 2^w - 1: exactly w bits
-        B = 1 << (w - 2)
-        blk((0, B), (1, -2 * B), (2, B))
-    # width 18 needs |d2| beyond the q range; derive from an in-range
-    # q spike [A, B, 0, 0]: d2 = [A, B-2A, A-2B, B]
-    for A, B, w in ((32600, -32700, 18),):
-        d2 = [A, B - 2 * A, A - 2 * B, B]
-        zz = max((abs(v) * 2 - (v < 0)) for v in d2)
-        assert (1 << (w - 1)) <= zz < (1 << w), (w, zz)
-        blk(*enumerate(d2))
+        # dense: every sample |d2| = m, zigzag(2m) needs exactly w bits
+        m = 1 << (w - 2)
+        blocks.append(np.tile([m, -m, -m, m], BLOCK // 4))
+    # width 18 (rung 11): q rails -A, +A, ... give dense d2 = ±2A with
+    # zigzag ~4A >= 2^17; close with two zeros so d1 and q end at 0
+    A = 32767
+    q_rail = np.tile([-A, A], BLOCK // 2).astype(np.int64)
+    q_rail[-2:] = 0
+    d1r = np.diff(q_rail, prepend=0)
+    blocks.append(np.diff(d1r, prepend=0))
     blk((0, -1))  # width 1: d2 in {0,-1}; leaves d1 = -1
-    blk((0, 1))  # width 2 again; repairs the slope
+    blk((0, 1))  # repair spike (rice-claimable; slope restored)
 
     d2 = np.concatenate(blocks)
     q = np.cumsum(np.cumsum(d2))[None, :]
     assert q.min() >= -32768 and q.max() <= 32767
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q, dtype=jnp.int32))
+    _, widx, _, _ = pack_parts(q)
     roundtrip(q)
-    assert set((np.asarray(widx) & 0x1F).tolist()) == set(range(len(WIDTHS)))
+    assert set((widx & 0x1F).tolist()) == set(range(len(WIDTHS)))
+    rice = (widx >> 7) & 1
+    # the dense rungs must all have come from width mode
+    for rung in range(1, len(WIDTHS)):
+        assert ((widx & 0x1F) == rung)[rice == 0].any() or (
+            (widx & 0x1F) != rung
+        ).all(), rung
 
 
 def test_d3_blocks_and_numpy_fallback():
@@ -114,14 +141,11 @@ def test_d3_blocks_and_numpy_fallback():
     sig = 20000 * np.sin(2 * np.pi * 220 * t / 44100)
     sig[15_000:18_000] += rng.integers(-3000, 3000, size=3000)
     q = np.stack([sig, -0.7 * sig]).round().astype(np.int32).clip(-32768, 32767)
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
-    nb = int(nbytes)
-    widx_h = np.asarray(widx)
-    assert (widx_h >> 5).any(), "expected some third-difference blocks"
-    assert ((widx_h >> 5) == 0).any(), "expected some second-difference blocks"
-    data = np.asarray(packed[:nb])
-    via_native = unpack_pcm(data, widx_h, 2, q.shape[1])
-    via_numpy = _unpack_pcm_numpy(data, widx_h, 2, q.shape[1])
+    data, widx_h, cuts, nb = pack_parts(q)
+    assert ((widx_h >> 5) & 1).any(), "expected some third-difference blocks"
+    assert (((widx_h >> 5) & 1) == 0).any(), "expected some second-difference blocks"
+    via_native = unpack_pcm(data, widx_h, 2, q.shape[1], cuts)
+    via_numpy = _unpack_pcm_numpy(data, widx_h, 2, q.shape[1], cuts)
     assert np.array_equal(via_native, q.astype(np.int16))
     assert np.array_equal(via_numpy, q.astype(np.int16))
 
@@ -130,10 +154,9 @@ def test_d3_saves_bytes_on_smooth_content():
     t = np.arange(44100 * 2, dtype=np.float64)
     sig = 0.5 * np.sin(2 * np.pi * 220 * t / 44100)
     q = np.rint(sig * 32767).astype(np.int32)[None, :]
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
-    nb = int(nbytes)
+    _, widx, _, _ = pack_parts(q)
     # pure tone: d3 narrows nearly every block vs d2-only packing
-    assert (np.asarray(widx) >> 5).mean() > 0.9
+    assert ((widx >> 5) & 1).mean() > 0.9
     roundtrip(q)
 
 
@@ -155,20 +178,19 @@ def test_inter_channel_blocks():
         .astype(np.int32)
         .clip(-32768, 32767)
     )
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
-    nb = int(nbytes)
-    widx_h = np.asarray(widx)
+    data, widx_h, cuts, nb = pack_parts(q)
     NB = widx_h.shape[0] // 2
-    assert not (widx_h[:NB] >> 6).any(), "even channel must never be inter"
-    assert (widx_h[NB:] >> 6).any(), "correlated stereo should pick inter"
-    data = np.asarray(packed[:nb])
-    assert np.array_equal(unpack_pcm(data, widx_h, 2, q.shape[1]), q.astype(np.int16))
-    assert np.array_equal(_unpack_pcm_numpy(data, widx_h, 2, q.shape[1]), q.astype(np.int16))
-    # the independent encoding of the same content costs more
-    mono = jax.jit(pack_pcm)(jnp.asarray(q[1:]))
-    assert nb < int(mono[1]) + int(
-        jax.jit(pack_pcm)(jnp.asarray(q[:1]))[1]
+    assert not ((widx_h[:NB] >> 6) & 1).any(), "even channel must never be inter"
+    assert ((widx_h[NB:] >> 6) & 1).any(), "correlated stereo should pick inter"
+    assert np.array_equal(
+        unpack_pcm(data, widx_h, 2, q.shape[1], cuts), q.astype(np.int16)
     )
+    assert np.array_equal(
+        _unpack_pcm_numpy(data, widx_h, 2, q.shape[1], cuts),
+        q.astype(np.int16),
+    )
+    # the independent encoding of the same content costs more
+    assert nb < pack_parts(q[1:])[3] + pack_parts(q[:1])[3]
 
 
 def test_inter_channel_multichannel_pairs():
@@ -190,21 +212,22 @@ def test_inter_channel_multichannel_pairs():
             .astype(np.int32)
             .clip(-32768, 32767)
         )
-        packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q))
-        nb = int(nbytes)
-        data = np.asarray(packed[:nb])
-        widx_h = np.asarray(widx)
+        data, widx_h, cuts, nb = pack_parts(q)
         NB = widx_h.shape[0] // C
         partner = pair_partner(C)
         for c in range(C):  # only paired dependents may carry bit 6
-            has_inter = bool((widx_h[c * NB : (c + 1) * NB] >> 6).any())
+            has_inter = bool(
+                ((widx_h[c * NB : (c + 1) * NB] >> 6) & 1).any()
+            )
             if partner[c] == c:
                 assert not has_inter, c
         assert np.array_equal(
-            unpack_pcm(data, widx_h, C, q.shape[1]), q.astype(np.int16)
+            unpack_pcm(data, widx_h, C, q.shape[1], cuts),
+            q.astype(np.int16),
         )
         assert np.array_equal(
-            _unpack_pcm_numpy(data, widx_h, C, q.shape[1]), q.astype(np.int16)
+            _unpack_pcm_numpy(data, widx_h, C, q.shape[1], cuts),
+            q.astype(np.int16),
         )
 
     # 5.1-shaped correlation (front pair + rear pair, distinct content):
@@ -223,14 +246,13 @@ def test_inter_channel_multichannel_pairs():
         ])
         .round().astype(np.int32).clip(-32768, 32767)
     )
-    packed, nbytes, widx = jax.jit(pack_pcm)(jnp.asarray(q51))
-    widx_h = np.asarray(widx)
+    data, widx_h, cuts, nb = pack_parts(q51)
     NB = widx_h.shape[0] // 6
     for c in (2, 4):
-        assert (widx_h[c * NB : (c + 1) * NB] >> 6).any(), c
-    data = np.asarray(packed[: int(nbytes)])
+        assert ((widx_h[c * NB : (c + 1) * NB] >> 6) & 1).any(), c
     assert np.array_equal(
-        unpack_pcm(data, widx_h, 6, q51.shape[1]), q51.astype(np.int16)
+        unpack_pcm(data, widx_h, 6, q51.shape[1], cuts),
+        q51.astype(np.int16),
     )
 
 
@@ -242,7 +264,7 @@ def test_soft_cap_truncates_and_reports_true_nbytes():
 
     rng = np.random.default_rng(3)
     q = rng.integers(-32768, 32768, size=(2, 4 * BLOCK))  # wide blocks
-    blk, widx, _ = select_candidate(jnp.asarray(q, jnp.int32))
+    blk, widx, _, _ = select_candidate(jnp.asarray(q, jnp.int32))
     allb = words_matmul(blk)
     full, nb_full = compact(allb, widx)
     cap = 8  # groups; noise blocks need ~18 each -> overflow
@@ -276,28 +298,44 @@ def test_corpus_overflow_redispatch():
     assert np.abs(outs[0].astype(np.int64) - q).max() <= 1
 
 
+def _build_wire(nbt: int, cap: int, rng, channels: int = 1):
+    """A consistent all-width-18 wire (plane-only, no rice) of nbt blocks
+    inside a cap-byte buffer; returns (wire, nb, HDR)."""
+    from vorbispizza_tpu.ops.pcm_pack import wire_header_bytes
+
+    HDR = wire_header_bytes(channels)
+    nb = nbt * 16 * WIDTHS[-1]
+    assert HDR + nbt + nb <= cap
+    wire = np.zeros(cap, dtype=np.uint8)
+    wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)
+    wire[4:8] = np.array(
+        [cap - HDR - nbt], dtype=np.uint32
+    ).view(np.uint8)  # plane cap = whole payload region (no unary)
+    # ch_ubit stays zero (no rice blocks)
+    wire[HDR : HDR + nbt] = len(WIDTHS) - 1  # rung 11 = width 18
+    wire[HDR + nbt : HDR + nbt + nb] = rng.integers(
+        0, 255, size=nb, dtype=np.uint8
+    )
+    return wire, nb, HDR
+
+
 def test_pull_wire_small_buffer_hint_undershoot():
     """A hint-sized first page that undershoots on a wire buffer SMALLER
     than the fixed page sizes must still pull the remainder (regression:
     the remainder slice was sized past the buffer and crashed)."""
     from vorbispizza_tpu.ops.pcm_pack import pull_wire, start_page0
 
-    nbt = 64
-    nb = 300 * 1024
+    nbt = 1024  # 1024 width-18 blocks -> 288 KB payload
     cap = 400 * 1024  # between one 256 KB quantum and two: the quantized
     # tail slice must clamp to the buffer
     rng = np.random.default_rng(9)
-    wire = np.empty(cap, dtype=np.uint8)
-    wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)
-    wire[4 : 4 + nbt] = rng.integers(0, 255, size=nbt, dtype=np.uint8)
-    payload = rng.integers(0, 255, size=nb, dtype=np.uint8)
-    wire[4 + nbt : 4 + nbt + nb] = payload
+    wire, nb, HDR = _build_wire(nbt, cap, rng)
     dev = jnp.asarray(wire)
     page0 = start_page0(dev, hint_bytes=10 * 1024)  # deliberate undershoot
-    got_nb, got_widx, got_data = pull_wire(dev, nbt, page0)
+    got_nb, got_widx, got_cuts, got_data = pull_wire(dev, nbt, 1, page0)
     assert got_nb == nb
-    assert np.array_equal(got_widx, wire[4 : 4 + nbt])
-    assert np.array_equal(got_data, payload)
+    assert np.array_equal(got_widx, wire[HDR : HDR + nbt])
+    assert np.array_equal(got_data, wire[HDR + nbt : HDR + nbt + nb])
 
 
 def test_malformed_wire_fails_loudly():
@@ -332,23 +370,118 @@ def test_malformed_wire_fails_loudly():
         _unpack_pcm_numpy(payload, np.zeros(C * 4 + 1, dtype=np.uint8), C, L)
 
 
+def test_corrupt_unary_fails_loudly():
+    """Rice-wire integrity: a unary stream whose terminators desync from
+    the channel cuts (flipped byte, truncated section, missing cuts)
+    must raise on BOTH unpack paths, never silently emit wrong PCM."""
+    from vorbispizza_tpu import native
+    from vorbispizza_tpu.ops.pcm_pack import (
+        _unpack_pcm_numpy,
+        plane_bytes_of,
+    )
+
+    t = np.arange(20_000, dtype=np.float64)
+    q = (
+        (9000 * np.sin(2 * np.pi * 220 * t / 44100))
+        .round()
+        .astype(np.int32)[None, :]
+    )
+    data, widx, cuts, nb = pack_parts(q)
+    assert (widx >> 7).any(), "content must pick rice blocks"
+    C, L = q.shape
+
+    def paths_raise(d, w, cu):
+        with pytest.raises(ValueError):
+            _unpack_pcm_numpy(d, w, C, L, cu)
+        if native.available():
+            with pytest.raises(ValueError):
+                native.unpack_pcm(d, w, C, L, cu)
+
+    # 1) missing channel cuts on a rice wire
+    paths_raise(data, widx, None)
+    # 2) a cleared unary byte drops terminators -> counts desync
+    plane = plane_bytes_of(widx)
+    first_set = plane + int(np.flatnonzero(data[plane:])[0])
+    bad = data.copy()
+    bad[first_set] = 0
+    paths_raise(bad, widx, cuts)
+    # 3) truncated unary section
+    paths_raise(data[: plane + 4], widx, cuts)
+    # 4) non-monotonic cuts (multichannel)
+    q2 = np.vstack([q, q])
+    d2, w2, c2, _ = pack_parts(q2)
+    if (w2 >> 7).any():
+        badc = c2.copy()[::-1].copy()
+        if badc[0] != badc[-1]:  # genuinely decreasing
+            with pytest.raises(ValueError):
+                _unpack_pcm_numpy(d2, w2, 2, q2.shape[1], badc)
+
+
 def test_pull_wire_midrange_remainder():
     """A 0.5-4 MB remainder after first-page undershoot pulls small
     pages (bounded overshoot) and reassembles exactly."""
     from vorbispizza_tpu.ops.pcm_pack import pull_wire, start_page0
 
-    nbt = 64
-    nb = int(1.5 * 1024 * 1024)
+    nbt = 5461  # ~1.5 MB of width-18 blocks
     cap = 8 * 1024 * 1024
     rng = np.random.default_rng(11)
-    wire = np.zeros(cap, dtype=np.uint8)
-    wire[:4] = np.array([nb], dtype=np.int32).view(np.uint8)
-    wire[4 : 4 + nbt] = rng.integers(0, 255, size=nbt, dtype=np.uint8)
-    payload = rng.integers(0, 255, size=nb, dtype=np.uint8)
-    wire[4 + nbt : 4 + nbt + nb] = payload
+    wire, nb, HDR = _build_wire(nbt, cap, rng)
     dev = jnp.asarray(wire)
     page0 = start_page0(dev, hint_bytes=8 * 1024)  # deliberate undershoot
-    got_nb, got_widx, got_data = pull_wire(dev, nbt, page0)
+    got_nb, got_widx, got_cuts, got_data = pull_wire(dev, nbt, 1, page0)
     assert got_nb == nb
-    assert np.array_equal(got_widx, wire[4 : 4 + nbt])
-    assert np.array_equal(got_data, payload)
+    assert np.array_equal(got_widx, wire[HDR : HDR + nbt])
+    assert np.array_equal(got_data, wire[HDR + nbt : HDR + nbt + nb])
+
+
+def test_wire_assembly_and_pull_roundtrip():
+    """The full device wire as the pipeline assembles it — header with
+    per-channel unary cuts, widx, planes|unary payload — pulled via
+    pull_wire and unpacked, on rice-heavy content."""
+    from vorbispizza_tpu.ops.pcm_pack import (
+        G_PER,
+        UNARY_WORDS_FULL_PER_BLOCK,
+        pull_wire,
+        start_page0,
+        wire_header_bytes,
+        wire_rows,
+    )
+
+    rng = np.random.default_rng(13)
+    t = np.arange(50_000, dtype=np.float64)
+    base = 11000 * np.sin(2 * np.pi * 220 * t / 44100)
+    q = (
+        np.stack([base + 200 * rng.standard_normal(t.size), 0.8 * base])
+        .round()
+        .astype(np.int32)
+        .clip(-32768, 32767)
+    )
+    C, L = q.shape
+    NBt = wire_rows(L, C)
+
+    def assemble(qd):
+        payload, nbytes, widx, cuts = pack_pcm(qd)
+        hdr = (
+            nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
+        ).astype(jnp.uint8)
+        plane_cap = jnp.asarray(
+            np.array([16 * NBt * G_PER], dtype=np.uint32).view(np.uint8)
+        )
+        cuts8 = (
+            (cuts[:, None] >> jnp.asarray([0, 8, 16, 24], jnp.uint32))
+            & 0xFF
+        ).astype(jnp.uint8).reshape(-1)
+        return jnp.concatenate([hdr, plane_cap, cuts8, widx, payload])
+
+    wire = jax.jit(assemble)(jnp.asarray(q))
+    assert wire.shape[0] == (
+        wire_header_bytes(C)
+        + NBt
+        + 16 * NBt * G_PER
+        + 4 * NBt * UNARY_WORDS_FULL_PER_BLOCK
+    )
+    page0 = start_page0(wire, hint_bytes=4 * 1024)
+    nb, widx_h, cuts_h, data = pull_wire(wire, NBt, C, page0)
+    assert (widx_h >> 7).any(), "expected rice blocks on this content"
+    got = unpack_pcm(data, widx_h, C, L, cuts_h)
+    assert np.array_equal(got, q.astype(np.int16))

@@ -369,11 +369,13 @@ def decode_corpus(
                     PackOverflow,
                     pull_wire,
                     unpack_pcm,
+                    wire_header_bytes,
                     wire_rows,
                 )
 
                 for attempt in (0, 1):
                     _, buf, nbt, out_len, total = arr[:5]
+                    C = nbt // wire_rows(out_len)  # nbt = C * rows(L)
                     page0 = arr[5] if len(arr) > 5 else None
                     try:
                         t.mark(f"c{cid}.pull_wait")
@@ -389,8 +391,12 @@ def decode_corpus(
                             # (pulled_bytes increments ride the same
                             # lock: up to 3 collector threads run
                             # finish().)
-                            nb, wtab, data = pull_wire(buf, nbt, page0)
-                            pulled_bytes[0] += nb + nbt + 4
+                            nb, wtab, cuts, data = pull_wire(
+                                buf, nbt, C, page0
+                            )
+                            pulled_bytes[0] += (
+                                nb + nbt + wire_header_bytes(C)
+                            )
                         t.mark(f"c{cid}.pull_done")
                         break
                     except PackOverflow:
@@ -401,9 +407,10 @@ def decode_corpus(
                             raise
                         with t.stage("repack_full"):
                             arr = retry()
-                C = nbt // wire_rows(out_len)  # nbt = C * rows(L)
                 with t.stage("collect_unpack"):
-                    return unpack_pcm(data, wtab, C, out_len)[:, :total]
+                    return unpack_pcm(data, wtab, C, out_len, cuts)[
+                        :, :total
+                    ]
             with _pull_lock:
                 host = np.asarray(arr)
                 pulled_bytes[0] += host.nbytes
@@ -548,7 +555,7 @@ def decode_corpus(
         fut = None
         if output != "device":
             if isinstance(merged_out, tuple):
-                from ..ops.pcm_pack import start_page0
+                from ..ops.pcm_pack import start_page0, wire_header_bytes
 
                 # launch the wire's header page now: its slice program
                 # queues right behind this chunk's execution, ahead of
@@ -563,7 +570,10 @@ def decode_corpus(
                 # idle time beyond chunk 0's exposure.
                 fmt_nbt = merged_out[2]
                 merged_out = merged_out + (
-                    start_page0(merged_out[1], 4 + fmt_nbt),
+                    start_page0(
+                        merged_out[1],
+                        wire_header_bytes(synth.channels) + fmt_nbt,
+                    ),
                 )
 
                 def rerun_full(chunk=chunk, dev=dev):

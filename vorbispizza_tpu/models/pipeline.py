@@ -694,27 +694,50 @@ class BatchSynthesizer:
                 )
                 if output in ("s16d", "s16df"):
                     # delta block-pack wire (ops/pcm_pack.py) as ONE
-                    # buffer [4B nbytes][widx][packed]: the host's first
-                    # page pull carries the header, so no separate
-                    # nbytes/widx round-trips. "s16d" packs into the
-                    # soft-capacity buffer (typical content; 3x less
-                    # compaction gather); nbytes is exact either way, so
-                    # a host seeing nbytes > capacity re-runs the chunk
-                    # as "s16df" (full capacity, identical wire bytes).
+                    # buffer [hdr: nbytes, plane cap, per-channel unary
+                    # cuts][widx][planes|unary]: the host's first page
+                    # pull carries the header, so no separate round
+                    # trips. "s16d" packs into soft-capacity buffers
+                    # (typical content; 3x less compaction gather);
+                    # nbytes is exact either way, so a host seeing a
+                    # section exceed its cap re-runs the chunk as
+                    # "s16df" (full capacity, identical wire bytes).
                     NBt = pcm_pack.wire_rows(sig[3], C)
-                    cap = None
+                    cap = NBt * pcm_pack.G_PER
+                    ucap = NBt * pcm_pack.UNARY_WORDS_FULL_PER_BLOCK
                     if output == "s16d":
                         cap = min(
                             _pad_size(
                                 NBt * pcm_pack.SOFT_GROUPS_PER_BLOCK, 4096
                             ),
-                            NBt * pcm_pack.G_PER,
+                            cap,
                         )
-                    packed, nbytes, widx = pack_pcm(q, cap)
+                        ucap = min(
+                            _pad_size(
+                                NBt * pcm_pack.SOFT_UNARY_WORDS_PER_BLOCK,
+                                1024,
+                            ),
+                            ucap,
+                        )
+                    payload, nbytes, widx, ch_ubit = pack_pcm(q, cap, ucap)
                     hdr = (
                         nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
                     ).astype(jnp.uint8)
-                    return jnp.concatenate([hdr, widx, packed])
+                    plane_cap = jnp.asarray(
+                        np.array([16 * cap], dtype=np.uint32).view(np.uint8)
+                    )
+                    cuts = (
+                        (
+                            ch_ubit[:, None]
+                            >> jnp.asarray(
+                                [0, 8, 16, 24], jnp.uint32
+                            )[None, :]
+                        )
+                        & 0xFF
+                    ).astype(jnp.uint8).reshape(-1)
+                    return jnp.concatenate(
+                        [hdr, plane_cap, cuts, widx, payload]
+                    )
                 if output == "s16p":
                     # byte-plane wire format [2, C, L] u8 (lo, hi biased):
                     # the hi plane is slowly varying and compresses well on

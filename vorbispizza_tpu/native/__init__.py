@@ -88,6 +88,7 @@ def _load():
             C.POINTER(C.c_uint8), C.c_int64,   # packed data
             C.POINTER(C.c_uint8), C.c_int64,   # width table
             C.c_int64, C.c_int64,              # C, L
+            C.POINTER(C.c_uint32),             # ch_ubit (nullable)
             C.POINTER(C.c_int16),              # out
             C.c_int,                           # n_threads
         ]
@@ -280,26 +281,45 @@ def decode_packet_spans(
     }
 
 
-def unpack_pcm(data: np.ndarray, widx: np.ndarray, channels: int, length: int):
+def unpack_pcm(
+    data: np.ndarray,
+    widx: np.ndarray,
+    channels: int,
+    length: int,
+    ch_ubit: np.ndarray | None = None,
+):
     """Delta block-pack s16 unpack (frontend.cpp vp_unpack_pcm) ->
     int16 [channels, length], or None when the native library is missing
-    (callers fall back to the numpy unpack in ops/pcm_pack.py). A wire
-    the C++ side REJECTS (bad geometry / width class) raises instead of
-    returning None: falling through to the less-validated numpy path
-    would turn an integrity failure into silently truncated PCM."""
+    (callers fall back to the numpy unpack in ops/pcm_pack.py).
+    ``ch_ubit``: per-channel cumulative unary bit cuts (rice blocks);
+    None is only valid for wires without rice blocks. A wire the C++
+    side REJECTS (bad geometry / width class / unary desync) raises
+    instead of returning None: falling through to the less-validated
+    numpy path would turn an integrity failure into silently truncated
+    PCM."""
     lib = _load()
     if lib is None:
         return None
-    # the C unpacker reads up to 7 bytes past the last block (one unaligned
-    # 8-byte load); give it slack
+    # the C unpacker reads up to 7 bytes past the last plane block and
+    # the unary tail (unaligned 8-byte loads); give it slack
     buf = np.empty(data.size + 8, dtype=np.uint8)
     buf[: data.size] = data
     widx = np.ascontiguousarray(widx, dtype=np.uint8)
+    if ch_ubit is not None:
+        ch_ubit = np.ascontiguousarray(ch_ubit, dtype=np.uint32)
+        if ch_ubit.size != channels:
+            raise ValueError(
+                f"ch_ubit has {ch_ubit.size} cuts for {channels} channels"
+            )
+        cuts_ptr = _ptr(ch_ubit, C.c_uint32)
+    else:
+        cuts_ptr = None
     out = np.empty((channels, length), dtype=np.int16)
     rc = lib.vp_unpack_pcm(
         _ptr(buf, C.c_uint8), int(data.size),
         _ptr(widx, C.c_uint8), int(widx.size),
         int(channels), int(length),
+        cuts_ptr,
         _ptr(out, C.c_int16),
         min(os.cpu_count() or 1, max(int(channels), 1)),
     )

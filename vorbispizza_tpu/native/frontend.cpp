@@ -15,6 +15,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread (native/__init__.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -919,13 +920,18 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
 }
 
 // Delta block-pack s16 PCM unpack (wire format: ops/pcm_pack.py).
-// Blocks of 128 zigzagged second-difference values, LSB-first bit-packed at
-// the per-block width W[widx[b]]; double prefix-sum restores the samples.
+// Blocks of 128 zigzagged second-difference values, LSB-first bit-packed
+// at the per-block width W[widx[b]]; rice blocks (widx bit 7) pack only
+// the k = W[widx[b]] low bits there and carry the high parts in a shared
+// unary section after the planes (q zeros + a 1 terminator per sample,
+// channel cuts in ch_ubit). Double prefix-sum restores the samples.
 // Threaded per channel (each channel's byte region is found by a prefix
-// walk over its blocks' widths).
+// walk over its blocks' widths; its unary region comes from ch_ubit).
+// The caller must provide 8 readable bytes past data+nbytes (unaligned
+// 64-bit loads in both the plane and unary scanners).
 int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
-                  int64_t nbt, int64_t C, int64_t L, int16_t* out,
-                  int n_threads) {
+                  int64_t nbt, int64_t C, int64_t L,
+                  const uint32_t* ch_ubit, int16_t* out, int n_threads) {
     // must match ops/pcm_pack.py WIDTHS (fine rungs at the measured
     // width histogram's mass, coarse escape rungs above)
     static const int W[12] = {0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 18};
@@ -933,18 +939,59 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     int64_t NB = nbt / C;
     if (NB * 128 < L) return -1;
     // per-channel byte offsets (blocks are laid out channel-major);
-    // widx byte: bits 0-4 width index, bit 5 = third-difference flag
+    // widx byte: bits 0-4 width index, bit 5 = third-difference flag,
+    // bit 6 = inter, bit 7 = rice
+    bool any_rice = false;
     std::vector<int64_t> ch_off(C + 1, 0);
     for (int64_t c = 0; c < C; c++) {
         int64_t bytes = 0;
         for (int64_t b = 0; b < NB; b++) {
-            uint8_t wi = widx[c * NB + b] & 0x1F;
+            uint8_t wb = widx[c * NB + b];
+            uint8_t wi = wb & 0x1F;
             if (wi > 11) return -2;
+            if (wb & 0x80) any_rice = true;
             bytes += 16 * W[wi];
         }
         ch_off[c + 1] = ch_off[c] + bytes;
     }
     if (ch_off[C] > nbytes) return -3;
+    int64_t ubits = 0;
+    if (ch_ubit) {
+        for (int64_t c = 0; c < C; c++) {
+            if ((int64_t)ch_ubit[c] < ubits) return -5;  // not monotonic
+            ubits = (int64_t)ch_ubit[c];
+        }
+    }
+    if (any_rice && !ch_ubit) return -6;
+    if (ch_off[C] + 4 * ((ubits + 31) / 32) > nbytes) return -3;
+    const uint8_t* ubase = data + ch_off[C];
+    std::atomic<int> err{0};
+
+    // unary scanner: gap-to-next-terminator with a hard segment bound so
+    // a corrupt stream fails loudly instead of desyncing into the next
+    // channel's bits (returns -1 past the limit)
+    struct UnaryScan {
+        const uint8_t* base;
+        int64_t pos, limit;
+        inline int64_t next() {
+            int64_t q = 0;
+            for (;;) {
+                if (pos >= limit) return -1;
+                uint64_t w8;
+                std::memcpy(&w8, base + (pos >> 3), 8);
+                w8 >>= (pos & 7);
+                if (w8) {
+                    int t = __builtin_ctzll(w8);
+                    if (pos + t >= limit) return -1;
+                    pos += t + 1;
+                    return q + t;
+                }
+                int adv = 64 - (int)(pos & 7);
+                q += adv;
+                pos += adv;
+            }
+        }
+    };
 
     // One channel: ld2 = current d2, acc1 = current d1, acc2 = current
     // sample. Order-2 blocks set ld2 directly; order-3 blocks accumulate
@@ -959,12 +1006,16 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
     auto decode_ch = [&](int64_t c, int32_t* d2out, const int32_t* d2in) {
         const uint8_t* p = data + ch_off[c];
         ChState st;
+        UnaryScan un{ubase, ch_ubit && c ? (int64_t)ch_ubit[c - 1] : 0,
+                     ch_ubit ? (int64_t)ch_ubit[c] : 0};
+        bool fail = false;
         int16_t* dst = out + c * L;
-        auto run_block = [&](auto ord3_t, auto inter_t, auto stash_t, int w,
-                             int64_t base) {
+        auto run_block = [&](auto ord3_t, auto inter_t, auto stash_t,
+                             auto rice_t, int w, int64_t base) {
             constexpr bool ORD3 = decltype(ord3_t)::value;
             constexpr bool INTER = decltype(inter_t)::value;
             constexpr bool STASH = decltype(stash_t)::value;
+            constexpr bool RICE = decltype(rice_t)::value;
             uint32_t mask = (1u << w) - 1;
             int64_t acc1 = st.acc1, acc2 = st.acc2, ld2 = st.ld2;
             int64_t nstore = L - base;
@@ -972,14 +1023,19 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
             if (nstore < 0) nstore = 0;
             int16_t* d = dst + base;
             for (int64_t i = 0; i < 128; i++) {
-                int64_t dd = 0;
+                uint64_t v = 0;
                 if (w) {
                     int64_t bit = i * w;
                     uint64_t v8;
                     std::memcpy(&v8, p + (bit >> 3), 8);  // block >=16B
-                    uint32_t v = (uint32_t)(v8 >> (bit & 7)) & mask;
-                    dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                    v = (uint32_t)(v8 >> (bit & 7)) & mask;
                 }
+                if (RICE) {
+                    int64_t qq = un.next();
+                    if (qq < 0) { fail = true; qq = 0; }
+                    v |= (uint64_t)qq << w;
+                }
+                int64_t dd = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
                 if (INTER) {
                     int64_t s = base + i;
                     if (ORD3)
@@ -1003,18 +1059,25 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
             bool ord3 = wb & 0x20;
             bool inter = (wb & 0x40) && d2in;
             int64_t base = b * 128;
-            if (d2out) {
-                if (ord3) run_block(T, F, T, w, base);
-                else run_block(F, F, T, w, base);
-            } else if (inter) {
-                if (ord3) run_block(T, T, F, w, base);
-                else run_block(F, T, F, w, base);
-            } else {
-                if (ord3) run_block(T, F, F, w, base);
-                else run_block(F, F, F, w, base);
-            }
+            auto dispatch = [&](auto rice_t) {
+                if (d2out) {
+                    if (ord3) run_block(T, F, T, rice_t, w, base);
+                    else run_block(F, F, T, rice_t, w, base);
+                } else if (inter) {
+                    if (ord3) run_block(T, T, F, rice_t, w, base);
+                    else run_block(F, T, F, rice_t, w, base);
+                } else {
+                    if (ord3) run_block(T, F, F, rice_t, w, base);
+                    else run_block(F, F, F, rice_t, w, base);
+                }
+            };
+            if (wb & 0x80) dispatch(T); else dispatch(F);
             p += 16 * w;
         }
+        // a valid stream's cursor lands exactly on the channel cut; a
+        // short segment (missing terminators) is a corrupt wire
+        if (ch_ubit && un.pos != (int64_t)ch_ubit[c]) fail = true;
+        if (fail) err.store(-5, std::memory_order_relaxed);
     };
     // channels decode per UNIT — a (stash, dependent) pair or a singleton
     // (the inter candidates reference the partner's d2 stream). Pairing
@@ -1067,7 +1130,7 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
         }
         for (auto& th : threads) th.join();
     }
-    return 0;
+    return err.load();
 }
 
 }  // extern "C"

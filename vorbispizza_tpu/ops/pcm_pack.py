@@ -10,19 +10,30 @@ typical program material vs 16 shipped raw. This codec:
      rides bit 5 of the width byte and reconstruction chains d3 -> d2 ->
      d1 -> q with carried accumulators),
   2. zigzag to unsigned (max |d2| = 131070 -> 18 bits always suffice; d3
-     blocks that would need 19 are forced to d2),
-  3. per block, the narrowest width from WIDTHS that holds the block's
+     blocks that would need 19 are forced out of width mode),
+  3. per block, the cheaper of two codings by exact bit cost:
+     width mode — the narrowest width from WIDTHS holding the block's
      max, LSB-first bit-packed (all block byte sizes are u32-word
-     multiples, so compaction is one word gather),
-  4. outputs (packed u8[cap], nbytes, width table u8[NBt]) — the host pulls
-     only nbytes (+ the tiny width table) and unpacks vectorized.
+     multiples, so compaction is one word gather); or
+     rice mode (bit 7) — a k-bit low plane (k from the same rung table)
+     through the same matmul/compaction, plus per-sample high parts
+     q = z >> k in a shared unary section (q zeros + a 1 terminator),
+     built as one cumsum + one scatter-add. Per-sample adaptation below
+     the block max buys ~15% wire bytes on decoded music (sized in
+     tools/wiresweep.py: rice 0.846x of width-mode wire; escape coding
+     and finer width rungs were sized at <4% and rejected),
+  4. outputs a single contiguous wire [u32 nbytes][u32 plane cap]
+     [u32 ch_ubit[C]][width table u8[NBt]][planes|unary] — the host
+     pulls only nbytes (+ header) and unpacks vectorized; the channel
+     cuts ch_ubit let the host decode channels in parallel without a
+     sequential unary pre-scan.
 
 Measured ~3.2x over raw s16 on decoded music (q0.5) with even d2-only
-widths — fine widths + d3 add ~1.45x more — beating in-flight link
-compression (which is weather-dependent on the tunnel) deterministically.
-Wholly new capability vs the reference (NVorbis returns PCM in host memory
-by construction); the reference analog of the output stage is
-StreamDecoder.StoreInterleaved:515-592.
+widths — fine widths + d3 added ~1.45x, rice another ~1.18x — beating
+in-flight link compression (which is weather-dependent on the tunnel)
+deterministically. Wholly new capability vs the reference (NVorbis
+returns PCM in host memory by construction); the reference analog of
+the output stage is StreamDecoder.StoreInterleaved:515-592.
 """
 
 from __future__ import annotations
@@ -46,6 +57,29 @@ BLOCK = 128
 MAX_W = WIDTHS[-1]
 #: u32 words per block for each width
 WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
+
+#: Rice k rungs = the WIDTHS entries usable as a low-plane width (the
+#: k-bit plane rides the same selection matmul, so k must come from the
+#: same table; 18 never wins — the +1 terminator bit always loses to
+#: plain width-18 coding). Indices into WIDTHS.
+RICE_K_IDX = tuple(i for i, w in enumerate(WIDTHS) if w <= 15)
+
+#: unary-section capacity, u32 words per block. Hard bound: a block only
+#: picks rice when its total (plane + unary) undercuts its width-mode
+#: size <= BLOCK*MAX_W bits = 288 B, so 72 words/block can never
+#: truncate. Soft cap 16 words (64 B) is ~3x the measured music mean
+#: (~1.5-2 unary bits/sample); overflow is detected exactly from the
+#: header and the chunk re-runs full-cap, same as the plane section.
+UNARY_WORDS_FULL_PER_BLOCK = BLOCK * MAX_W // 32
+SOFT_UNARY_WORDS_PER_BLOCK = 16
+
+
+def wire_header_bytes(channels: int) -> int:
+    """dpack wire header size: u32 nbytes, u32 plane-section capacity,
+    u32 per-channel cumulative unary bit counts (inclusive ends). The
+    channel cuts make the host unpack parallel across channels without a
+    sequential pre-scan of the unary stream."""
+    return 8 + 4 * channels
 
 
 def wire_rows(out_len: int, channels: int = 1) -> int:
@@ -86,21 +120,34 @@ def pair_partner(C: int) -> np.ndarray:
 
 
 def select_candidate(q: jnp.ndarray):
-    """Stage 1 of pack_pcm: per-block candidate choice, narrowest wins
-    (ties to the earlier, cheaper-to-reconstruct candidate):
+    """Stage 1 of pack_pcm: per-block (candidate x coding-mode) choice by
+    exact bit cost. Candidates:
       d2      second difference (baseline; always fits 18 bits)
       d3      third difference (~23% fewer bytes on smooth music)
       i2, i3  inter-channel: dk(ch) - dk(pair partner) — stereo content
       is usually correlated, and diff-space decorrelation needs no
       sample-space stitching (the accumulator chain still tracks ch).
-    Candidates whose zigzag exceeds WIDTHS[-1] bits are forced out (d2
-    always fits, so a winner always exists). Channels pair (0,1),(2,3)…;
-    even channels and a trailing odd channel have no inter candidates.
-    Flag bits in the width byte: 5 = third difference, 6 = inter.
+    Coding modes per block:
+      width   all samples at the narrowest WIDTHS rung holding the max
+      rice    k-bit low plane (k from the same rung table, <=15) + a
+              unary stream of the high parts q_i = z_i >> k, each sample
+              terminated by a 1 bit. Cost = B*(k+1) + sum(q_i); wins
+              ~15% wire bytes on music (per-sample adaptation below the
+              block max — sized offline in tools/wiresweep.py). Ties go
+              to width mode (cheaper host decode, no unary).
+    Width mode forces out candidates whose zigzag exceeds WIDTHS[-1]
+    bits; rice absorbs any magnitude, and a block only picks rice when
+    cheaper than its width coding, so per-block payload never exceeds
+    BLOCK*MAX_W bits. Channels pair (0,1),(2,3)…; even channels and a
+    trailing odd channel have no inter candidates. Flag bits in the
+    width byte: 5 = third difference, 6 = inter, 7 = rice.
 
-    Returns (blk u32 [NBt, BLOCK] zigzagged winner, widx i32 [NBt],
-    blk_flags i32 [NBt]). Module-level so tools/ablate.py can snap the
-    candidate search out (d2-only) and attribute its exec cost."""
+    Returns (blk u32 [NBt, BLOCK] low-plane of the winner — the full
+    zigzag for width blocks, z & ((1<<k)-1) for rice blocks; widx i32
+    [NBt] rung index; blk_flags i32 [NBt]; ulen i32 [NBt, BLOCK]
+    per-sample unary lengths (q_i + 1 on rice blocks, 0 elsewhere) for
+    pack_unary). Module-level so tools/ablate.py can snap the candidate
+    search out (d2-only) and attribute its exec cost."""
     C, L = q.shape
     NB = -(-L // BLOCK)
     pad = NB * BLOCK - L
@@ -132,26 +179,64 @@ def select_candidate(q: jnp.ndarray):
         inter_ok = jnp.asarray(
             partner[np.arange(NBt) // NB] != (np.arange(NBt) // NB)
         )
-    INVALID = jnp.int32(len(WIDTHS))
-    wis = []
+    INF = jnp.int32(1 << 29)  # > any real block cost (<= 2^27 bits)
+    w_tbl = jnp.asarray(np.asarray(WIDTHS, dtype=np.int32))
+    rice_w = np.asarray([WIDTHS[i] for i in RICE_K_IDX], dtype=np.int32)
+    rice_idx_tbl = jnp.asarray(np.asarray(RICE_K_IDX, dtype=np.int32))
+    costs, widx_c, ridx_c, rice_c = [], [], [], []
     for k, cb in enumerate(cands):
         m = cb.max(axis=1)
-        wi = jnp.where(m > ((1 << MAX_W) - 1), INVALID, width_index(m))
+        wi = width_index(m)
+        wcost = jnp.take(w_tbl, wi) * BLOCK
+        wcost = jnp.where(m > ((1 << MAX_W) - 1), INF, wcost)
+        # rice: per rung k, B*(k+1) + sum(z >> k); argmin picks the
+        # smallest k on ties (rungs are ascending)
+        rstack = jnp.stack(
+            [
+                BLOCK * (int(kw) + 1)
+                + (cb >> int(kw)).sum(axis=1).astype(jnp.int32)
+                for kw in rice_w
+            ]
+        )
+        rbest = jnp.argmin(rstack, axis=0)
+        rcost = jnp.take_along_axis(rstack, rbest[None, :], axis=0)[0]
+        use_rice = rcost < wcost  # ties -> width (no unary to decode)
+        cost = jnp.minimum(rcost, wcost)
         if flags[k] & (1 << 6):
-            wi = jnp.where(inter_ok, wi, INVALID)
-        wis.append(wi)
-    wstack = jnp.stack(wis)  # [K, NBt]
-    best = jnp.argmin(wstack * len(cands) + jnp.arange(len(cands))[:, None], axis=0)
-    widx = jnp.take_along_axis(wstack, best[None, :], axis=0)[0]
+            cost = jnp.where(inter_ok, cost, INF)
+        costs.append(cost)
+        widx_c.append(jnp.where(use_rice, jnp.take(rice_idx_tbl, rbest), wi))
+        ridx_c.append(rbest)
+        rice_c.append(use_rice)
+    cstack = jnp.stack(costs)  # [K, NBt]
+    best = jnp.argmin(cstack, axis=0)  # first min: earlier candidate wins
     # select via where-accumulation, NOT stack + take_along_axis: XLA
     # fuses each masked candidate into the accumulation instead of
     # materializing a [K, NBt, BLOCK] stack in HBM and gathering rows
     blk = cands[0]
+    widx = widx_c[0]
+    is_rice = rice_c[0]
     for k in range(1, len(cands)):
-        blk = jnp.where((best == k)[:, None], cands[k], blk)
+        sel = best == k
+        blk = jnp.where(sel[:, None], cands[k], blk)
+        widx = jnp.where(sel, widx_c[k], widx)
+        is_rice = jnp.where(sel, rice_c[k], is_rice)
     flag_tbl = jnp.asarray(np.asarray(flags, dtype=np.int32))
-    blk_flags = jnp.take(flag_tbl, best)
-    return blk, widx, blk_flags
+    blk_flags = jnp.take(flag_tbl, best) | (
+        is_rice.astype(jnp.int32) << 7
+    )
+    # split the winner at its rung: low plane through the width matmul,
+    # high parts (+1 terminator each) into the unary stream
+    wv = jnp.take(w_tbl, widx).astype(jnp.uint32)
+    mask = jnp.where(
+        wv >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << wv) - 1
+    )
+    high = blk >> wv[:, None]
+    ulen = jnp.where(
+        is_rice[:, None], (high + 1).astype(jnp.int32), jnp.int32(0)
+    )
+    blk = jnp.where(is_rice[:, None], blk & mask[:, None], blk)
+    return blk, widx, blk_flags, ulen
 
 
 _sel16_cache: list = []
@@ -328,22 +413,85 @@ def compact(words: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = None
     return packed, (total_groups * 16).astype(jnp.int32)
 
 
-def pack_pcm(q: jnp.ndarray, cap_groups: int | None = None):
-    """Device-side pack: q int32 [C, L] (s16-range) ->
-    (packed u8 [16*cap_groups], nbytes int32, widx u8 [C*NB]).
+def pack_unary(ulen: jnp.ndarray, channels: int, cap_words: int):
+    """Stage 4 of pack_pcm: the global unary stream as little-endian u32
+    words. ``ulen`` [NBt, BLOCK] carries each sample's unary length
+    (q_i + 1 on rice blocks, 0 elsewhere); the stream is q_i zeros then
+    a 1 terminator per rice sample, blocks in (channel, block) order —
+    i.e. a bit vector with ones at the inclusive prefix sums minus one.
+    Built scatter-style (the TPU-fast pattern: cumsum + one masked
+    scatter-add; bits of distinct samples never collide, so add == or).
+    Positions past ``cap_words`` drop on device; the true total still
+    returns, so the host detects overflow exactly (PackOverflow ->
+    full-cap re-run, same protocol as the plane section).
 
-    Only the first ``nbytes`` of ``packed`` are meaningful; blocks are laid
-    out back-to-back in (channel, block) order. nbytes may exceed the
-    buffer under a soft ``cap_groups`` — the host must then re-run with
-    the full cap (PackOverflow). Three stages — candidate selection,
-    word matmul, group compaction — live as module-level functions so
-    the on-chip ablation can attribute them."""
-    blk, widx, blk_flags = select_candidate(q)
+    Returns (ubytes u8 [4*cap_words], ubits i32 total,
+    ch_ubit u32 [channels] cumulative bit counts at channel ends)."""
+    NBt = ulen.shape[0]
+    flat = ulen.reshape(-1)
+    ends = jnp.cumsum(flat, dtype=jnp.int32)  # inclusive bit ends
+    ubits = ends[-1] if NBt else jnp.int32(0)
+    NB = NBt // max(channels, 1)
+    ch_ubit = (
+        ends[np.arange(1, channels + 1) * NB * BLOCK - 1]
+        if NBt
+        else jnp.zeros(channels, jnp.int32)
+    ).astype(jnp.uint32)
+    # terminator bit of sample i sits at ends[i]-1; zero-length samples
+    # (width blocks) route to the out-of-range sentinel and drop
+    pos = jnp.where(flat > 0, ends - 1, jnp.int32(cap_words * 32))
+    words = jnp.zeros(cap_words, dtype=jnp.uint32)
+    words = words.at[pos >> 5].add(
+        jnp.uint32(1) << (pos & 31).astype(jnp.uint32), mode="drop"
+    )
+    ubytes = (
+        (
+            words[:, None]
+            >> jnp.asarray([0, 8, 16, 24], jnp.uint32)[None, :]
+        )
+        & 0xFF
+    ).astype(jnp.uint8).reshape(-1)
+    return ubytes, ubits, ch_ubit
+
+
+def pack_pcm(
+    q: jnp.ndarray,
+    cap_groups: int | None = None,
+    cap_uwords: int | None = None,
+):
+    """Device-side pack: q int32 [C, L] (s16-range) ->
+    (payload u8 [16*cap_groups + 4*cap_uwords], nbytes int32,
+    widx u8 [C*NB], ch_ubit u32 [C]).
+
+    The payload is the plane section (16-byte groups, blocks back-to-back
+    in (channel, block) order) with the unary section placed directly
+    after the true plane bytes (one dynamic_update_slice), so the wire
+    stays a single contiguous region of ``nbytes``. nbytes may exceed
+    either section's soft capacity — the host then re-runs with the full
+    caps (PackOverflow). The four stages — candidate selection, word
+    matmul, group compaction, unary scatter — live as module-level
+    functions so the on-chip ablation can attribute them."""
+    C = q.shape[0]
+    blk, widx, blk_flags, ulen = select_candidate(q)
     words = words_matmul(blk)
-    packed, nbytes = compact(words, widx, cap_groups)
-    # widx byte: bits 0-4 width index, bit 5 = third difference, 6 = inter
+    NBt = blk.shape[0]
+    if cap_groups is None:
+        cap_groups = NBt * G_PER
+    if cap_uwords is None:
+        cap_uwords = NBt * UNARY_WORDS_FULL_PER_BLOCK
+    packed, nb_plane = compact(words, widx, cap_groups)
+    ubytes, ubits, ch_ubit = pack_unary(ulen, C, cap_uwords)
+    payload = jnp.concatenate([packed, jnp.zeros_like(ubytes)])
+    payload = jax.lax.dynamic_update_slice(
+        payload,
+        ubytes,
+        (jnp.minimum(nb_plane, jnp.int32(16 * cap_groups)),),
+    )
+    nbytes = nb_plane + 4 * ((ubits + 31) >> 5)
+    # widx byte: bits 0-4 width/k rung index, bit 5 = third difference,
+    # 6 = inter, 7 = rice
     wout = (widx | blk_flags).astype(jnp.uint8)
-    return packed, nbytes, wout
+    return payload, nbytes, wout, ch_ubit
 
 
 #: page sizes for sized pulls: big pages while >= _PAGE_BIG of payload
@@ -398,36 +546,85 @@ def start_page0(dev: "jnp.ndarray", hint_bytes: int | None = None):
     return page
 
 
-def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
-    """Pull a single-buffer dpack wire [4B nbytes][widx u8[nbt]][packed]
-    -> (nbytes, widx, packed bytes). The header rides in the first page,
-    so a chunk costs no separate nbytes/widx round-trips."""
+def plane_bytes_of(widx: np.ndarray) -> int:
+    """Exact plane-section byte size from the width table (each block
+    contributes 16*W[rung] bytes). Raises on out-of-range rungs — the
+    walk must not index garbage on a corrupt wire."""
+    wclass = (np.asarray(widx) & 0x1F).astype(np.int64)
+    if wclass.size and int(wclass.max()) >= len(WIDTHS):
+        raise ValueError(
+            f"dpack width class {int(wclass.max())} out of range"
+        )
+    return int(np.asarray(WIDTHS, dtype=np.int64)[wclass].sum()) * 16
+
+
+def _parse_header(h: np.ndarray, nbt: int, channels: int):
+    """Parse the wire header [u32 nbytes][u32 plane_cap][u32 ch_ubit[C]]
+    [widx u8[nbt]] -> (nbytes, plane_cap, ch_ubit, widx)."""
+    HDR = wire_header_bytes(channels)
+    if h.shape[0] < HDR + nbt:
+        # the header + width table must ride the first page; a chunk-size
+        # change that overflows it must fail loudly, not corrupt the PCM
+        raise ValueError(
+            f"dpack header ({HDR + nbt} B) exceeds the first wire page "
+            f"({h.shape[0]} B); raise _PAGE_BIG or shrink the chunk"
+        )
+    nb = int(h[:4].view(np.int32)[0])
+    plane_cap = int(h[4:8].view(np.uint32)[0])
+    ch_ubit = h[8:HDR].view(np.uint32).copy()
+    if ch_ubit.size and np.diff(ch_ubit.astype(np.int64)).min(initial=0) < 0:
+        raise ValueError("dpack channel unary cuts are not monotonic")
+    widx = h[HDR : HDR + nbt]
+    return nb, plane_cap, ch_ubit, widx
+
+
+def _check_sections(
+    nb: int, plane_cap: int, ch_ubit: np.ndarray, widx: np.ndarray,
+    payload_cap: int,
+):
+    """Exact per-section overflow/integrity checks: nbytes in the header
+    is always the TRUE total (device drops bytes past either section's
+    cap but reports true sizes), so a truncated soft-cap wire is
+    detected from the header alone -> PackOverflow (caller re-runs the
+    full-cap program). A size mismatch that is not an overflow is a
+    corrupt wire -> ValueError. Returns (plane_true, ubytes)."""
+    plane_true = plane_bytes_of(widx)
+    ubits = int(ch_ubit[-1]) if ch_ubit.size else 0
+    ubytes = 4 * ((ubits + 31) // 32)
+    if plane_true > plane_cap:
+        raise PackOverflow(
+            f"dpack plane section {plane_true} B exceeds cap {plane_cap} B"
+        )
+    if ubytes > payload_cap - plane_cap:
+        raise PackOverflow(
+            f"dpack unary section {ubytes} B exceeds cap "
+            f"{payload_cap - plane_cap} B"
+        )
+    if nb != plane_true + ubytes:
+        raise ValueError(
+            f"dpack size mismatch: header {nb} B != plane {plane_true} B "
+            f"+ unary {ubytes} B"
+        )
+    return plane_true, ubytes
+
+
+def pull_wire(dev: "jnp.ndarray", nbt: int, channels: int = 1, page0=None):
+    """Pull a single-buffer dpack wire [hdr][widx u8[nbt]][planes|unary]
+    -> (nbytes, widx, ch_ubit, payload bytes). The header rides in the
+    first page, so a chunk costs no separate round-trips."""
     cap = int(dev.shape[0])
+    HDR = wire_header_bytes(channels)
     if page0 is None:
         page0 = start_page0(dev)
     h = np.asarray(page0)
     first = h.shape[0]
-    if first < 4 + nbt:
-        # the header + width table must ride the first page; a chunk-size
-        # change that overflows it must fail loudly, not corrupt the PCM
-        raise ValueError(
-            f"dpack header ({4 + nbt} B) exceeds the first wire page "
-            f"({first} B); raise _PAGE_BIG or shrink the chunk"
-        )
-    nb = int(h[:4].view(np.int32)[0])
-    if nb > cap - 4 - nbt:
-        # soft-capacity wire: the chunk's true packed size exceeds the
-        # buffer (near-incompressible PCM) — the payload is truncated on
-        # device. Exact detection: nbytes in the header is the true total.
-        raise PackOverflow(
-            f"dpack payload {nb} B exceeds wire capacity {cap - 4 - nbt} B"
-        )
-    widx = h[4 : 4 + nbt]
+    nb, plane_cap, ch_ubit, widx = _parse_header(h, nbt, channels)
+    _check_sections(nb, plane_cap, ch_ubit, widx, cap - HDR - nbt)
     data = np.empty(nb, dtype=np.uint8)
-    take0 = min(nb, first - 4 - nbt)
+    take0 = min(nb, first - HDR - nbt)
     if take0 > 0:
-        data[:take0] = h[4 + nbt : 4 + nbt + take0]
-    off = 4 + nbt  # device offset of the payload
+        data[:take0] = h[HDR + nbt : HDR + nbt + take0]
+    off = HDR + nbt  # device offset of the payload
     a = max(take0, 0)
     pages = []
     q = _PAGE_QUANTUM
@@ -456,22 +653,37 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, page0=None):
         hst = np.asarray(page)
         s0 = off + a - start
         data[a : a + take] = hst[s0 : s0 + take]
-    return nb, widx, data
+    return nb, widx, ch_ubit, data
 
 
-def unpack_pcm(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
+def unpack_pcm(
+    packed: np.ndarray,
+    widx: np.ndarray,
+    C: int,
+    L: int,
+    ch_ubit: np.ndarray | None = None,
+):
     """Host-side unpack -> int16 [C, L]: the threaded C++ unpacker when
-    available (native/frontend.cpp vp_unpack_pcm), else vectorized numpy."""
+    available (native/frontend.cpp vp_unpack_pcm), else vectorized numpy.
+    ``packed`` is the contiguous payload (planes then unary); ``ch_ubit``
+    carries the per-channel unary bit cuts (None only for wires with no
+    rice blocks)."""
     from .. import native
 
     if native.available():
-        out = native.unpack_pcm(packed, widx, C, L)
+        out = native.unpack_pcm(packed, widx, C, L, ch_ubit)
         if out is not None:
             return out
-    return _unpack_pcm_numpy(packed, widx, C, L)
+    return _unpack_pcm_numpy(packed, widx, C, L, ch_ubit)
 
 
-def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
+def _unpack_pcm_numpy(
+    packed: np.ndarray,
+    widx: np.ndarray,
+    C: int,
+    L: int,
+    ch_ubit: np.ndarray | None = None,
+):
     NBt = widx.shape[0]
     NB = NBt // C
     # mirror the C++ unpacker's wire validations (frontend.cpp
@@ -507,6 +719,46 @@ def _unpack_pcm_numpy(packed: np.ndarray, widx: np.ndarray, C: int, L: int):
             axis=2
         )
         z[sel] = vals
+    # rice blocks: merge the unary-coded high parts (bit 7; the k-bit
+    # low plane decoded above). The unary section follows the planes;
+    # each rice sample is q zeros + a 1 terminator, channel cuts from
+    # ch_ubit. Validated exactly: terminator counts must match the rice
+    # sample counts and each channel's last terminator must close its
+    # segment — a corrupt stream fails loudly, never desyncs silently.
+    rice = ((widx >> 7) & 1).astype(bool)
+    if rice.any():
+        if ch_ubit is None or np.asarray(ch_ubit).size != C:
+            raise ValueError("dpack rice wire requires per-channel "
+                             "unary cuts (ch_ubit)")
+        ch_ubit = np.asarray(ch_ubit).astype(np.int64)
+        plane_true = int(boff[-1] + bpb[-1])
+        ubits = int(ch_ubit[-1])
+        ubytes = 4 * ((ubits + 31) // 32)
+        if plane_true + ubytes > packed.shape[0]:
+            raise ValueError(
+                f"dpack payload {packed.shape[0]} B short of plane "
+                f"{plane_true} B + unary {ubytes} B"
+            )
+        ubits_all = np.unpackbits(
+            packed[plane_true : plane_true + ubytes], bitorder="little"
+        )
+        riceC = rice.reshape(C, NB)
+        for c in range(C):
+            s = int(ch_ubit[c - 1]) if c else 0
+            e = int(ch_ubit[c])
+            pos = np.flatnonzero(ubits_all[s:e])
+            n_rice = int(riceC[c].sum()) * BLOCK
+            if pos.size != n_rice or (n_rice and pos[-1] != e - s - 1):
+                raise ValueError(
+                    f"dpack unary stream of channel {c} is corrupt: "
+                    f"{pos.size} terminators for {n_rice} rice samples"
+                )
+            if not n_rice:
+                continue
+            qs = np.diff(np.concatenate(([-1], pos))) - 1
+            rb = np.flatnonzero(riceC[c])
+            rows = c * NB + rb
+            z[rows] |= qs.reshape(-1, BLOCK) << ws[wclass[rows]][:, None]
     d = (z >> 1) ^ -(z & 1)  # un-zigzag: signed block values
     d_flat = d.reshape(C, NB * BLOCK)
     f = ord3.reshape(C, NB)

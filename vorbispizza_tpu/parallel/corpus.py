@@ -242,19 +242,23 @@ def unpack_shard(row: np.ndarray, sig, channels: int, total: int):
     output = sig[5]
     out_len = sig[3]
     if output in ("s16d", "s16df"):
-        from ..ops.pcm_pack import PackOverflow, unpack_pcm, wire_rows
+        from ..ops.pcm_pack import (
+            _check_sections,
+            _parse_header,
+            unpack_pcm,
+            wire_header_bytes,
+            wire_rows,
+        )
 
         nbt = wire_rows(out_len, channels)
-        nb = int(np.asarray(row[:4]).view(np.int32)[0])
-        if nb > row.shape[0] - 4 - nbt:
-            # soft-capacity wire truncated on device (see
-            # ops/pcm_pack.SOFT_GROUPS_PER_BLOCK): caller re-runs "s16df"
-            raise PackOverflow(
-                f"dpack payload {nb} B exceeds shard wire capacity"
-            )
-        widx = np.asarray(row[4 : 4 + nbt])
-        data = np.asarray(row[4 + nbt : 4 + nbt + nb])
-        return unpack_pcm(data, widx, channels, out_len)[:, :total]
+        HDR = wire_header_bytes(channels)
+        h = np.asarray(row)
+        nb, plane_cap, cuts, widx = _parse_header(h, nbt, channels)
+        # exact per-section overflow detection (a truncated soft-cap
+        # wire raises PackOverflow; caller re-runs "s16df")
+        _check_sections(nb, plane_cap, cuts, widx, h.shape[0] - HDR - nbt)
+        data = h[HDR + nbt : HDR + nbt + nb]
+        return unpack_pcm(data, widx, channels, out_len, cuts)[:, :total]
     return np.asarray(row)[..., :total]
 
 
@@ -351,16 +355,32 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str =
             )
             if fmt == "s16d":
                 # probe every shard's header first: if ANY shard's packed
-                # size overflows the soft wire capacity, re-run the whole
+                # size overflows a soft wire section, re-run the whole
                 # group with the full-capacity pack (identical wire bytes)
-                from ..ops.pcm_pack import wire_rows
+                from ..ops.pcm_pack import (
+                    PackOverflow,
+                    _check_sections,
+                    _parse_header,
+                    wire_header_bytes,
+                    wire_rows,
+                )
 
                 nbt_w = wire_rows(sig[3], channels)
-                cap_w = int(out.shape[-1]) - 4 - nbt_w
+                hdr_w = wire_header_bytes(channels)
+
+                def _overflows(k: int) -> bool:
+                    h = np.asarray(out[k][: hdr_w + nbt_w])
+                    try:
+                        _check_sections(
+                            *_parse_header(h, nbt_w, channels),
+                            int(out.shape[-1]) - hdr_w - nbt_w,
+                        )
+                    except PackOverflow:
+                        return True
+                    return False
+
                 over = any(
-                    int(np.asarray(out[k][:4]).view(np.int32)[0]) > cap_w
-                    for k, part in enumerate(parts)
-                    if part
+                    _overflows(k) for k, part in enumerate(parts) if part
                 )
                 if over:
                     sig, out, totals, lens, _wb = sharded_chunk_run(
@@ -420,7 +440,9 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str =
 
                         try:
                             _, buf, nbt, out_len, total = res[:5]
-                            nb, wtab, data = pull_wire(buf, nbt)
+                            nb, wtab, cuts, data = pull_wire(
+                                buf, nbt, channels
+                            )
                         except PackOverflow:
                             # re-run this stream with the full-cap pack
                             sig2, args2, total2 = synth.prepare(
@@ -428,9 +450,11 @@ def decode_corpus_sharded(sources, mesh, *, output: str = "s16", on_error: str =
                             )
                             res = synth.run(sig2, args2, total2)
                             _, buf, nbt, out_len, total = res[:5]
-                            nb, wtab, data = pull_wire(buf, nbt)
+                            nb, wtab, cuts, data = pull_wire(
+                                buf, nbt, channels
+                            )
                         outs[idxs[j]] = unpack_pcm(
-                            data, wtab, channels, out_len
+                            data, wtab, channels, out_len, cuts
                         )[:, :total]
                     else:
                         pcm = np.array(res, dtype=np.float32)

@@ -93,7 +93,8 @@ def run_ablation(
         wi = jnp.zeros(m.shape[0], dtype=jnp.int32)
         for w in pp.WIDTHS[:-1]:
             wi = wi + (m > ((1 << w) - 1)).astype(jnp.int32)
-        return blk, wi, jnp.zeros_like(wi)
+        # width-mode only: no rice flags, an all-zero unary plan
+        return blk, wi, jnp.zeros_like(wi), jnp.zeros(blk.shape, jnp.int32)
 
     def zero_mm(blk):
         # bit expansion + selection matmul go dead (zeros uses only the
