@@ -705,6 +705,7 @@ class BatchSynthesizer:
                     NBt = pcm_pack.wire_rows(sig[3], C)
                     cap = NBt * pcm_pack.G_PER
                     ucap = NBt * pcm_pack.UNARY_WORDS_FULL_PER_BLOCK
+                    urow = pcm_pack.UNARY_WORDS_FULL_PER_BLOCK
                     if output == "s16d":
                         cap = min(
                             _pad_size(
@@ -719,7 +720,10 @@ class BatchSynthesizer:
                             ),
                             ucap,
                         )
-                    payload, nbytes, widx, ch_ubit = pack_pcm(q, cap, ucap)
+                        urow = pcm_pack.UNARY_ROW_WORDS_SOFT
+                    payload, nbytes, widx, ch_ubit = pack_pcm(
+                        q, cap, ucap, urow
+                    )
                     hdr = (
                         nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
                     ).astype(jnp.uint8)

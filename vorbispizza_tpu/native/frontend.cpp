@@ -1071,7 +1071,14 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
                     else run_block(F, F, F, rice_t, w, base);
                 }
             };
-            if (wb & 0x80) dispatch(T); else dispatch(F);
+            if (wb & 0x80) {
+                dispatch(T);
+                // each rice block's unary segment is padded to a u32
+                // word boundary (block-local device construction)
+                un.pos = (un.pos + 31) & ~(int64_t)31;
+            } else {
+                dispatch(F);
+            }
             p += 16 * w;
         }
         // a valid stream's cursor lands exactly on the channel cut; a

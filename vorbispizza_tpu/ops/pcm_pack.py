@@ -64,14 +64,21 @@ WORDS = tuple(w * BLOCK // 32 for w in WIDTHS)
 #: plain width-18 coding). Indices into WIDTHS.
 RICE_K_IDX = tuple(i for i, w in enumerate(WIDTHS) if w <= 15)
 
-#: unary-section capacity, u32 words per block. Hard bound: a block only
-#: picks rice when its total (plane + unary) undercuts its width-mode
-#: size <= BLOCK*MAX_W bits = 288 B, so 72 words/block can never
-#: truncate. Soft cap 16 words (64 B) is ~3x the measured music mean
-#: (~1.5-2 unary bits/sample); overflow is detected exactly from the
-#: header and the chunk re-runs full-cap, same as the plane section.
+#: unary-section capacities, u32 words per block. Hard bound: a block
+#: only picks rice when its total (plane + unary) undercuts its
+#: width-mode size <= BLOCK*MAX_W bits = 288 B, so 72 words/block can
+#: never truncate. Two soft caps (both re-run full-cap on overflow,
+#: detected exactly from the header):
+#:   - ROW cap: the per-block deposit row width (a single block's unary
+#:     words). Measured music mean is ~8 words/block (256 bits — the
+#:     coarse k rungs above 6 shift bits from the plane into unary);
+#:     32 words = 4x headroom per block.
+#:   - chunk cap: the compaction output, an AVERAGE over the chunk's
+#:     blocks (like SOFT_GROUPS_PER_BLOCK). 12 words/block is ~1.5x the
+#:     mean; the take count sets the assembly gather's cost.
 UNARY_WORDS_FULL_PER_BLOCK = BLOCK * MAX_W // 32
-SOFT_UNARY_WORDS_PER_BLOCK = 16
+UNARY_ROW_WORDS_SOFT = 32
+SOFT_UNARY_WORDS_PER_BLOCK = 12
 
 
 def wire_header_bytes(channels: int) -> int:
@@ -189,12 +196,20 @@ def select_candidate(q: jnp.ndarray):
         wi = width_index(m)
         wcost = jnp.take(w_tbl, wi) * BLOCK
         wcost = jnp.where(m > ((1 << MAX_W) - 1), INF, wcost)
-        # rice: per rung k, B*(k+1) + sum(z >> k); argmin picks the
-        # smallest k on ties (rungs are ascending)
+        # rice: per rung k, B*k + the word-aligned unary segment
+        # (sum(z>>k) + B terminators, rounded up to 32); argmin picks
+        # the smallest k on ties (rungs are ascending)
         rstack = jnp.stack(
             [
-                BLOCK * (int(kw) + 1)
-                + (cb >> int(kw)).sum(axis=1).astype(jnp.int32)
+                BLOCK * int(kw)
+                + (
+                    (
+                        (cb >> int(kw)).sum(axis=1).astype(jnp.int32)
+                        + BLOCK
+                        + 31
+                    )
+                    & ~31
+                )
                 for kw in rice_w
             ]
         )
@@ -413,37 +428,76 @@ def compact(words: jnp.ndarray, widx: jnp.ndarray, cap_groups: int | None = None
     return packed, (total_groups * 16).astype(jnp.int32)
 
 
-def pack_unary(ulen: jnp.ndarray, channels: int, cap_words: int):
-    """Stage 4 of pack_pcm: the global unary stream as little-endian u32
-    words. ``ulen`` [NBt, BLOCK] carries each sample's unary length
-    (q_i + 1 on rice blocks, 0 elsewhere); the stream is q_i zeros then
-    a 1 terminator per rice sample, blocks in (channel, block) order —
-    i.e. a bit vector with ones at the inclusive prefix sums minus one.
-    Built scatter-style (the TPU-fast pattern: cumsum + one masked
-    scatter-add; bits of distinct samples never collide, so add == or).
-    Positions past ``cap_words`` drop on device; the true total still
-    returns, so the host detects overflow exactly (PackOverflow ->
-    full-cap re-run, same protocol as the plane section).
+def pack_unary(
+    ulen: jnp.ndarray,
+    channels: int,
+    cap_words: int,
+    cap_row_words: int = UNARY_WORDS_FULL_PER_BLOCK,
+):
+    """Stage 4 of pack_pcm: the unary stream as little-endian u32 words.
+    ``ulen`` [NBt, BLOCK] carries each sample's unary length (q_i + 1 on
+    rice blocks, 0 elsewhere); each rice block's segment is q_i zeros
+    then a 1 terminator per sample, PADDED to a u32-word boundary (the
+    host cursor rounds up after each rice block's 128th terminator).
 
-    Returns (ubytes u8 [4*cap_words], ubits i32 total,
-    ch_ubit u32 [channels] cumulative bit counts at channel ends)."""
+    Built block-locally — a global bit-level scatter of one update per
+    sample measured 77 ms per 120 s chunk on v5e (TPU scatter cost is
+    per-update and indices_are_sorted buys nothing), vs ~2 ms for the
+    per-block deposit (a python loop of masked lane reductions, one per
+    row word — positions are block-local so the row stays in registers)
+    plus ~11 ms for the word-granularity marker/cumsum/take compaction
+    (the same pattern as compact()). The alignment padding costs ~2 B
+    per rice block (~0.9% of the wire) and buys the block-local
+    construction AND parallel host unpack.
+
+    Truncation is exact-detectable: a block's bits past ``cap_row_words``
+    drop in the deposit (flagged in row_over), words past ``cap_words``
+    drop in the take; the true totals still return.
+
+    Returns (ubytes u8 [4*cap_words], ubytes_true i32,
+    ch_ubit u32 [channels] cumulative aligned bit counts at channel
+    ends, row_over bool — any block exceeded the row cap)."""
     NBt = ulen.shape[0]
-    flat = ulen.reshape(-1)
-    ends = jnp.cumsum(flat, dtype=jnp.int32)  # inclusive bit ends
-    ubits = ends[-1] if NBt else jnp.int32(0)
-    NB = NBt // max(channels, 1)
-    ch_ubit = (
-        ends[np.arange(1, channels + 1) * NB * BLOCK - 1]
-        if NBt
-        else jnp.zeros(channels, jnp.int32)
-    ).astype(jnp.uint32)
-    # terminator bit of sample i sits at ends[i]-1; zero-length samples
-    # (width blocks) route to the out-of-range sentinel and drop
-    pos = jnp.where(flat > 0, ends - 1, jnp.int32(cap_words * 32))
-    words = jnp.zeros(cap_words, dtype=jnp.uint32)
-    words = words.at[pos >> 5].add(
-        jnp.uint32(1) << (pos & 31).astype(jnp.uint32), mode="drop"
+    if NBt == 0:
+        return (
+            jnp.zeros(4 * cap_words, jnp.uint8),
+            jnp.int32(0),
+            jnp.zeros(channels, jnp.uint32),
+            jnp.bool_(False),
+        )
+    W = cap_row_words
+    ends = jnp.cumsum(ulen, axis=1, dtype=jnp.int32)  # block-local
+    ubits_b = ends[:, -1]
+    uw_b = (ubits_b + 31) >> 5  # words per block (0 for width blocks)
+    row_over = jnp.any(uw_b > W)
+    # per-block deposit: terminator of sample i at local bit ends[b,i]-1
+    pos = ends - 1
+    valid = ulen > 0
+    wsel = jnp.where(valid, pos >> 5, jnp.int32(W))
+    val = jnp.where(
+        valid, jnp.uint32(1) << (pos & 31).astype(jnp.uint32), jnp.uint32(0)
     )
+    cols = [
+        jnp.where(wsel == w, val, jnp.uint32(0)).sum(
+            axis=1, dtype=jnp.uint32
+        )
+        for w in range(W)
+    ]
+    rows = jnp.stack(cols, axis=1)  # [NBt, W]
+    # word-granularity compaction (same marker/cumsum/take as compact())
+    goff = jnp.cumsum(uw_b) - uw_b
+    total_words = goff[-1] + uw_b[-1]
+    NB = NBt // max(channels, 1)
+    cut_rows = np.arange(1, channels + 1) * NB - 1
+    ch_ubit = (32 * (jnp.take(goff, cut_rows) + jnp.take(uw_b, cut_rows))).astype(
+        jnp.uint32
+    )
+    marker = jnp.zeros(cap_words + 1, dtype=jnp.int32)
+    marker = marker.at[goff].add(1, mode="drop")
+    blk_of = jnp.clip(jnp.cumsum(marker[:-1]) - 1, 0, NBt - 1)
+    comb = jnp.arange(NBt, dtype=jnp.int32) * W - goff
+    idx = jnp.arange(cap_words, dtype=jnp.int32) + jnp.take(comb, blk_of)
+    words = jnp.take(rows.reshape(-1), idx, mode="fill", fill_value=0)
     ubytes = (
         (
             words[:, None]
@@ -451,13 +505,14 @@ def pack_unary(ulen: jnp.ndarray, channels: int, cap_words: int):
         )
         & 0xFF
     ).astype(jnp.uint8).reshape(-1)
-    return ubytes, ubits, ch_ubit
+    return ubytes, (4 * total_words).astype(jnp.int32), ch_ubit, row_over
 
 
 def pack_pcm(
     q: jnp.ndarray,
     cap_groups: int | None = None,
     cap_uwords: int | None = None,
+    cap_urow: int = UNARY_WORDS_FULL_PER_BLOCK,
 ):
     """Device-side pack: q int32 [C, L] (s16-range) ->
     (payload u8 [16*cap_groups + 4*cap_uwords], nbytes int32,
@@ -468,8 +523,10 @@ def pack_pcm(
     after the true plane bytes (one dynamic_update_slice), so the wire
     stays a single contiguous region of ``nbytes``. nbytes may exceed
     either section's soft capacity — the host then re-runs with the full
-    caps (PackOverflow). The four stages — candidate selection, word
-    matmul, group compaction, unary scatter — live as module-level
+    caps (PackOverflow); a block exceeding the per-block unary row cap
+    forces nbytes to a sentinel past any buffer for the same protocol.
+    The four stages — candidate selection, word matmul, group
+    compaction, unary deposit+compaction — live as module-level
     functions so the on-chip ablation can attribute them."""
     C = q.shape[0]
     blk, widx, blk_flags, ulen = select_candidate(q)
@@ -480,14 +537,19 @@ def pack_pcm(
     if cap_uwords is None:
         cap_uwords = NBt * UNARY_WORDS_FULL_PER_BLOCK
     packed, nb_plane = compact(words, widx, cap_groups)
-    ubytes, ubits, ch_ubit = pack_unary(ulen, C, cap_uwords)
+    ubytes, ub_true, ch_ubit, row_over = pack_unary(
+        ulen, C, cap_uwords, cap_urow
+    )
     payload = jnp.concatenate([packed, jnp.zeros_like(ubytes)])
     payload = jax.lax.dynamic_update_slice(
         payload,
         ubytes,
         (jnp.minimum(nb_plane, jnp.int32(16 * cap_groups)),),
     )
-    nbytes = nb_plane + 4 * ((ubits + 31) >> 5)
+    nbytes = nb_plane + ub_true
+    # a block past the unary row cap lost bits in the deposit; nbytes
+    # alone cannot reveal it, so force the overflow protocol
+    nbytes = jnp.where(row_over, jnp.int32(0x7FFFFFF0), nbytes)
     # widx byte: bits 0-4 width/k rung index, bit 5 = third difference,
     # 6 = inter, 7 = rice
     wout = (widx | blk_flags).astype(jnp.uint8)
@@ -748,14 +810,32 @@ def _unpack_pcm_numpy(
             e = int(ch_ubit[c])
             pos = np.flatnonzero(ubits_all[s:e])
             n_rice = int(riceC[c].sum()) * BLOCK
-            if pos.size != n_rice or (n_rice and pos[-1] != e - s - 1):
+            # each rice block: 128 terminators, then the cursor rounds
+            # up to the next u32 word (block-local device construction).
+            # Validate exactly: terminator count, the final block's
+            # rounded end landing on the channel cut, and no negative
+            # gaps (a terminator inside another block's padding).
+            if pos.size != n_rice or (
+                n_rice and -(-(int(pos[-1]) + 1) // 32) * 32 != e - s
+            ):
                 raise ValueError(
                     f"dpack unary stream of channel {c} is corrupt: "
                     f"{pos.size} terminators for {n_rice} rice samples"
                 )
             if not n_rice:
                 continue
+            nrb = n_rice // BLOCK
+            block_ends = pos[BLOCK - 1 :: BLOCK]
+            starts = np.zeros(nrb, dtype=np.int64)
+            starts[1:] = ((block_ends[:-1] + 32) >> 5) << 5
             qs = np.diff(np.concatenate(([-1], pos))) - 1
+            firsts = np.arange(nrb) * BLOCK
+            qs[firsts] = pos[firsts] - starts
+            if qs.min(initial=0) < 0:
+                raise ValueError(
+                    f"dpack unary stream of channel {c} is corrupt: "
+                    "terminator inside block padding"
+                )
             rb = np.flatnonzero(riceC[c])
             rows = c * NB + rb
             z[rows] |= qs.reshape(-1, BLOCK) << ws[wclass[rows]][:, None]

@@ -100,14 +100,19 @@ def bits_width(blocks, widths=None):
     return w * blocks.shape[-1]
 
 
-def bits_rice(blocks, kmax=16, ks=None):
+def bits_rice(blocks, kmax=16, ks=None, aligned=False):
     """Optimal per-block Rice parameter k: bits = sum(v >> k) + B*(k+1).
     ``ks`` restricts k to a rung table (the device k-plane packs through
-    the existing width-selection matmul, so k must come from WIDTHS)."""
+    the existing width-selection matmul, so k must come from WIDTHS).
+    ``aligned`` pads each block's unary segment to a u32 word — the
+    LANDED wire (block-local device construction; ~0.9% extra)."""
     B = blocks.shape[-1]
     best = None
     for k in ks if ks is not None else range(kmax):
-        b = (blocks >> k).sum(axis=-1) + B * (k + 1)
+        u = (blocks >> k).sum(axis=-1) + B
+        if aligned:
+            u = ((u + 31) // 32) * 32
+        b = u + B * k
         best = b if best is None else np.minimum(best, b)
     return best
 
@@ -176,6 +181,18 @@ def main():
         )
         totals["mixed_extW"] = totals.get("mixed_extW", 0) + (
             mixed.sum() / 8 + hdrx
+        )
+        z0, ok0 = candidates(q)
+        b0, _ = as_blocks(z0, BLOCK)
+        landed = choose(
+            np.minimum(
+                bits_rice(b0, ks=rice_ks, aligned=True),
+                bits_width(b0, WIDTHS),
+            ),
+            ok0,
+        )
+        totals["LANDED"] = totals.get("LANDED", 0) + (
+            landed.sum() / 8 + hdrx
         )
         z, ok = candidates(q)
         for B in (128, 64, 32):
