@@ -434,6 +434,74 @@ def test_pull_wire_midrange_remainder():
     assert np.array_equal(got_data, wire[HDR + nbt : HDR + nbt + nb])
 
 
+def test_pull_wire_moved_accounting():
+    """moved_out reports the ACTUAL page bytes materialized: one
+    hint-covered page when the hint overshoots (no remainder trips), and
+    first page + remainder pages on undershoot — always >= the payload."""
+    from vorbispizza_tpu.ops.pcm_pack import pull_wire, start_page0
+
+    nbt = 2048  # 576 KB of width-18 blocks
+    cap = 4 * 1024 * 1024
+    rng = np.random.default_rng(13)
+    wire, nb, HDR = _build_wire(nbt, cap, rng)
+    dev = jnp.asarray(wire)
+
+    # overshoot: the first page covers the whole wire -> ONE page moved
+    moved = [0]
+    page0 = start_page0(dev, hint_bytes=HDR + nbt + nb + 100_000)
+    got_nb, _, _, got_data = pull_wire(dev, nbt, 1, page0, moved_out=moved)
+    assert got_nb == nb
+    assert np.array_equal(got_data, wire[HDR + nbt : HDR + nbt + nb])
+    assert moved[0] == int(page0.shape[0]) >= HDR + nbt + nb
+
+    # undershoot: first page + remainder pages, all counted
+    moved = [0]
+    page0 = start_page0(dev, hint_bytes=8 * 1024)
+    got_nb, _, _, got_data = pull_wire(dev, nbt, 1, page0, moved_out=moved)
+    assert got_nb == nb
+    assert np.array_equal(got_data, wire[HDR + nbt : HDR + nbt + nb])
+    assert moved[0] >= HDR + nbt + nb
+    assert moved[0] > int(page0.shape[0])  # remainder pages counted too
+
+
+def test_corpus_learns_wire_ratio():
+    """decode_corpus teaches the dispatch-side wire-size predictor: after
+    a dpack corpus decode the synthesizer carries a payload/raw ratio in
+    (0, 1.3), so the next corpus's first page is sized to cover the whole
+    wire (one async copy per chunk instead of a header round trip + a
+    collect-time remainder launch)."""
+    from vorbispizza_tpu.models.corpus import _synthesizer_for, decode_corpus
+    from vorbispizza_tpu.reader import VorbisReader
+    from vorbispizza_tpu.testing.encode import encode_vorbis, make_signal
+
+    data = encode_vorbis(
+        make_signal(2, 1.5, rate=44100, kind="music", seed=3),
+        rate=44100,
+        quality=0.4,
+    )
+    out1 = decode_corpus([data], output="s16")[0]
+    r = VorbisReader(data)
+    r.initialize()
+    ref = np.clip(
+        np.round(r.read_all(planar=True) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    assert out1.shape == ref.shape
+    assert np.abs(out1.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+    # the synthesizer registry is keyed by channel count; fetch through
+    # the same front end the corpus used
+    from vorbispizza_tpu.models.corpus import _front_end
+
+    setup, channels = _front_end(data)[:2]
+    synth = _synthesizer_for(setup, channels)
+    ratio = getattr(synth, "_wire_ratio", None)
+    assert ratio is not None and 0.0 < ratio < 1.3
+
+    # calibrated second decode is still bit-identical
+    out2 = decode_corpus([data], output="s16")[0]
+    assert np.array_equal(out1, out2)
+
+
 def test_wire_assembly_and_pull_roundtrip():
     """The full device wire as the pipeline assembles it — header with
     per-channel unary cuts, widx, planes|unary payload — pulled via

@@ -360,7 +360,7 @@ def decode_corpus(
     pulled_bytes = [0]
     _pull_lock = threading.Lock()
 
-    def finish(arr, retry=None, cid=None):
+    def finish(arr, retry=None, cid=None, synth=None):
         if output == "device":
             return arr
         if output == "s16":
@@ -369,7 +369,6 @@ def decode_corpus(
                     PackOverflow,
                     pull_wire,
                     unpack_pcm,
-                    wire_header_bytes,
                     wire_rows,
                 )
 
@@ -391,13 +390,25 @@ def decode_corpus(
                             # (pulled_bytes increments ride the same
                             # lock: up to 3 collector threads run
                             # finish().)
+                            moved = [0]
                             nb, wtab, cuts, data = pull_wire(
-                                buf, nbt, C, page0
+                                buf, nbt, C, page0, moved_out=moved
                             )
-                            pulled_bytes[0] += (
-                                nb + nbt + wire_header_bytes(C)
-                            )
+                            # actual page bytes (padding included): the
+                            # hint-sized first page may overshoot the
+                            # true payload, and those bytes cross the
+                            # link whether or not they carry audio
+                            pulled_bytes[0] += moved[0]
                         t.mark(f"c{cid}.pull_done")
+                        if synth is not None and total > 0:
+                            # teach the dispatch-side wire-size predictor
+                            # this content family's payload/raw ratio
+                            obs = nb / (total * C * 2)
+                            old = getattr(synth, "_wire_ratio", None)
+                            synth._wire_ratio = (
+                                obs if old is None
+                                else 0.7 * old + 0.3 * obs
+                            )
                         break
                     except PackOverflow:
                         # soft-cap wire overflowed (near-incompressible
@@ -480,7 +491,9 @@ def decode_corpus(
                     else None
                 )
                 outs[i] = finish(
-                    synth.assemble(plan, buckets, output=fmt), retry
+                    synth.assemble(plan, buckets, output=fmt),
+                    retry,
+                    synth=synth,
                 )
             except BatchUnsupported:
                 outs[i] = scalar_or_failed(i)
@@ -557,22 +570,33 @@ def decode_corpus(
             if isinstance(merged_out, tuple):
                 from ..ops.pcm_pack import start_page0, wire_header_bytes
 
-                # launch the wire's header page now: its slice program
-                # queues right behind this chunk's execution, ahead of
-                # later chunks' programs. Sized to the HEADER (+whatever
-                # payload head rides the 256 KB quantum): the collector
-                # reads the exact nbytes from it and pulls the remainder
-                # exact-sized, so padding per chunk is ≤256 KB — the
-                # earlier 0.30*raw estimate shipped the estimate-minus-
-                # payload gap (~1-1.5 MB/chunk) as dead bytes the d2h
-                # counter never saw. Pulls serialize back-to-back across
-                # chunks, so the later remainder launch costs no pipe
-                # idle time beyond chunk 0's exposure.
+                # launch the wire's first page now, sized to cover the
+                # WHOLE predicted wire: its async copy streams behind
+                # this chunk's execution, so by collect time the data has
+                # usually LANDED and the pull costs ~1 ms instead of a
+                # header round trip + a remainder round trip whose async
+                # copy can only launch at collect time (measured
+                # 2026-08-19, tools/pull_anatomy.py: hot corpus-shaped
+                # pull 150-220 ms vs 1.2 ms once the copy has landed).
+                # The payload size is content-dependent and only known on
+                # device, so the hint is a learned per-synthesizer
+                # payload/raw ratio (EWMA, updated in finish) with +15%
+                # margin; an undershoot falls back to the exact-sized
+                # remainder path, an overshoot ships ≤15% padding zeros —
+                # bytes the link compresses in flight and the honest d2h
+                # counter (pull_wire moved_out) now reports.
                 fmt_nbt = merged_out[2]
+                _hdr = wire_header_bytes(synth.channels)
+                _ratio = getattr(synth, "_wire_ratio", None)
+                _r = 0.32 if _ratio is None else min(
+                    max(_ratio * 1.15, 0.02), 1.3
+                )
                 merged_out = merged_out + (
                     start_page0(
                         merged_out[1],
-                        wire_header_bytes(synth.channels) + fmt_nbt,
+                        _hdr
+                        + fmt_nbt
+                        + int(_r * merged_out[4] * synth.channels * 2),
                     ),
                 )
 
@@ -595,7 +619,9 @@ def decode_corpus(
                     out2 = synth2.run(*args2)
                     return out2 + (start_page0(out2[1]),)
 
-                fut = collect_pool.submit(finish, merged_out, rerun_full, cid)
+                fut = collect_pool.submit(
+                    finish, merged_out, rerun_full, cid, synth
+                )
             else:
                 try:
                     merged_out.copy_to_host_async()

@@ -783,12 +783,18 @@ class BatchSynthesizer:
         buckets: list[BucketBatch],
         output: str = "f32",
         pads: dict | None = None,
+        accounting: dict | None = None,
     ):
         """prepare() minus the device placement: returns (sig, host numpy
         arrays, total). ``pads`` (from sig_pads/merge_pads) forces padded
         dimensions and wire dtypes UP to cross-shard maxima so independent
         shards of one corpus produce the SAME sig — the precondition for
-        running them as one shard_map program."""
+        running them as one shard_map program.
+
+        ``accounting`` (diagnostic, tools/h2d_breakdown.py): when a dict is
+        passed, per-component h2d byte counts accumulate into it — slot
+        sizes as SHIPPED (padded layout), keyed by wire component. Pure
+        host-side bookkeeping; the produced arrays and sig are identical."""
         PG = self.PACK_GRAN
         metas_per = [self._group_meta(b)[0] for b in buckets]
         # Residue wire format per bucket:
@@ -894,6 +900,36 @@ class BatchSynthesizer:
             (b.key, metas) for b, metas in zip(buckets, metas_per)
         )
         entries, counts = self._layout(statics, padded_n, self.channels)
+        if accounting is not None:
+            _ITEM = {"f32": 4, "i32": 4, "i16": 2, "u8": 1}
+
+            def _acc(key: str, slot):
+                tag, _off, shape = slot
+                accounting[key] = accounting.get(key, 0) + int(
+                    np.prod(shape)
+                ) * _ITEM[tag]
+
+            for e_, pn, metas_ in zip(entries, padded_n, metas_per):
+                if pn[2] == "sym":
+                    for gs in e_["syms"]:
+                        for s in gs:
+                            _acc("sym_streams", s)
+                    for xs in e_["idx"]:
+                        for s in xs:
+                            _acc("sym_scatter_idx", s)
+                else:
+                    _acc("residue_gmap", e_["gmap"])
+                    _acc("residue_rows", e_["packed"])
+                _acc("window_flags", e_["prime"])
+                _acc("window_flags", e_["final"])
+                for ge, meta in zip(e_["groups"], metas_):
+                    _acc("floor_used", ge["used"])
+                    if meta["type"] == 1:
+                        _acc("floor1_posts", ge["posts"])
+                        _acc("floor1_step2", ge["step2"])
+                    else:
+                        _acc("floor0_coeffs", ge["coefficients"])
+                        _acc("floor0_amp", ge["amplitude"])
         f32 = np.zeros(counts["f32"], dtype=np.float32)
         i32 = np.zeros(counts["i32"], dtype=np.int32)
         i16 = np.zeros(counts["i16"], dtype=np.int16)
@@ -971,6 +1007,13 @@ class BatchSynthesizer:
             )
             pad_arr[:E] = a_
             host_args.append(pad_arr)
+        if accounting is not None:
+            accounting["ola_events"] = (
+                accounting.get("ola_events", 0) + Ep * len(evs) * 4
+            )
+            accounting["total_shipped"] = accounting.get(
+                "total_shipped", 0
+            ) + sum(a.nbytes for a in host_args)
         seg_sig = ("ev", Ep)
         F_tab = 0
         sig = (

@@ -670,16 +670,29 @@ def _check_sections(
     return plane_true, ubytes
 
 
-def pull_wire(dev: "jnp.ndarray", nbt: int, channels: int = 1, page0=None):
+def pull_wire(
+    dev: "jnp.ndarray",
+    nbt: int,
+    channels: int = 1,
+    page0=None,
+    moved_out: list | None = None,
+):
     """Pull a single-buffer dpack wire [hdr][widx u8[nbt]][planes|unary]
     -> (nbytes, widx, ch_ubit, payload bytes). The header rides in the
-    first page, so a chunk costs no separate round-trips."""
+    first page, so a chunk costs no separate round-trips.
+
+    ``moved_out``: optional single-element list accumulating the ACTUAL
+    device bytes materialized (page sizes, padding included) — the
+    honest d2h counter when the first page is hint-sized past the true
+    payload."""
     cap = int(dev.shape[0])
     HDR = wire_header_bytes(channels)
     if page0 is None:
         page0 = start_page0(dev)
     h = np.asarray(page0)
     first = h.shape[0]
+    if moved_out is not None:
+        moved_out[0] += int(first)
     nb, plane_cap, ch_ubit, widx = _parse_header(h, nbt, channels)
     _check_sections(nb, plane_cap, ch_ubit, widx, cap - HDR - nbt)
     data = np.empty(nb, dtype=np.uint8)
@@ -713,6 +726,8 @@ def pull_wire(dev: "jnp.ndarray", nbt: int, channels: int = 1, page0=None):
         a += take
     for a, start, take, page in pages:
         hst = np.asarray(page)
+        if moved_out is not None:
+            moved_out[0] += int(hst.shape[0])
         s0 = off + a - start
         data[a : a + take] = hst[s0 : s0 + take]
     return nb, widx, ch_ubit, data
