@@ -41,13 +41,16 @@ def main() -> None:
     for rep in range(reps):
         timer = DecodeTimer()
         t0 = time.perf_counter()
+        c0 = time.process_time()
         outs = decode_corpus(corpus, output="s16", timer=timer)
+        cpu = time.process_time() - c0
         dt = time.perf_counter() - t0
         assert all(o is not None for o in outs)
         rtfs.append(audio_s / dt)
         st = {k: round(v, 3) for k, v in sorted(timer.stages.items())}
         print(
-            f"rep{rep}: wall={dt:6.3f}s rtf={audio_s/dt:7.1f}x "
+            f"rep{rep}: wall={dt:6.3f}s cpu={cpu:6.3f}s "
+            f"rtf={audio_s/dt:7.1f}x "
             f"d2h={timer.counters.get('d2h_bytes',0)/1e6:5.2f}MB "
             f"h2d={timer.counters.get('h2d_bytes',0)/1e6:5.2f}MB "
             f"stages={st}",

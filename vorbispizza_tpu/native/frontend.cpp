@@ -820,6 +820,143 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
 
 }  // namespace
 
+// ------------------------------------------------ dpack unpack SIMD kernel
+//
+// AVX-512 path for vp_unpack_pcm's per-block inner loop (the headline
+// corpus is host-CPU-bound on single-vCPU TPU hosts; this loop is the
+// largest term). 16-lane field extraction (gather + variable shift),
+// SIMD zigzag, and carry-propagated 16-lane inclusive scans for the
+// d3 -> d2 -> d1 -> sample chains. All arithmetic is two's-complement
+// mod 2^32; the scalar path accumulates in int64 but stores low 16
+// bits, and addition commutes with mod, so both paths store identical
+// PCM (valid wires never leave int32 range anyway: |d3| <= 2^18, rice
+// q <= 2304 by the block cost bound).
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#define VP_UNPACK_AVX512 1
+#include <immintrin.h>
+
+namespace {
+
+//: must match ops/pcm_pack.py WIDTHS and the W[] table in vp_unpack_pcm
+static const int VP_W[12] = {0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 18};
+
+// per-width gather byte offsets and residual bit shifts for the 128
+// fields of one block (field i lives at bit i*w of the block's plane)
+struct VpWTab {
+    alignas(64) int32_t off[12][128];
+    alignas(64) int32_t sh[12][128];
+    VpWTab() {
+        for (int wi = 0; wi < 12; wi++) {
+            int w = VP_W[wi];
+            for (int i = 0; i < 128; i++) {
+                int64_t bit = (int64_t)i * w;
+                off[wi][i] = (int32_t)(bit >> 3);
+                sh[wi][i] = (int32_t)(bit & 7);
+            }
+        }
+    }
+};
+static const VpWTab VP_WTAB;
+
+static inline int32_t vp_lane15(__m512i x) {
+    return _mm_extract_epi32(_mm512_extracti32x4_epi32(x, 3), 3);
+}
+
+// 16-lane inclusive prefix sum (Hillis-Steele via lane-shifts)
+static inline __m512i vp_prefix32(__m512i x) {
+    const __m512i z = _mm512_setzero_si512();
+    x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 15));
+    x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 14));
+    x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 12));
+    x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 8));
+    return x;
+}
+
+static inline __m512i vp_scan_carry(__m512i x, int32_t& carry) {
+    x = _mm512_add_epi32(vp_prefix32(x), _mm512_set1_epi32(carry));
+    carry = vp_lane15(x);
+    return x;
+}
+
+// One 128-sample block: plane extraction, optional rice high parts
+// (qv[128] pre-scanned from the unary stream), optional inter-channel
+// add, the integration chain, int16 store (truncating, like the scalar
+// path's (int16_t) cast). Gathers read up to 4 bytes past the block's
+// plane — covered by the caller's 8-byte slack contract (see
+// vp_unpack_pcm's header comment).
+template <bool ORD3, bool INTER, bool STASH, bool RICE>
+static void vp_block_avx512(const uint8_t* p, int wi, const int32_t* qv,
+                            const int32_t* d2in, int32_t* d2out,
+                            int64_t base, int64_t L, int16_t* dst,
+                            int32_t& acc1, int32_t& acc2, int32_t& ld2) {
+    const int w = VP_W[wi];
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vmask =
+        _mm512_set1_epi32(w ? (int32_t)((1u << w) - 1) : 0);
+    const __m512i vw = _mm512_set1_epi32(w);
+    for (int g = 0; g < 8; g++) {
+        const int64_t s0 = base + g * 16;
+        __m512i v;
+        if (w) {
+            __m512i vidx = _mm512_load_si512(
+                (const void*)(VP_WTAB.off[wi] + g * 16));
+            __m512i vsh = _mm512_load_si512(
+                (const void*)(VP_WTAB.sh[wi] + g * 16));
+            v = _mm512_i32gather_epi32(vidx, (const void*)p, 1);
+            v = _mm512_and_si512(_mm512_srlv_epi32(v, vsh), vmask);
+        } else {
+            v = vzero;
+        }
+        if (RICE) {
+            __m512i q = _mm512_load_si512((const void*)(qv + g * 16));
+            v = _mm512_or_si512(v, _mm512_sllv_epi32(q, vw));
+        }
+        // zigzag: (v >> 1) ^ -(v & 1)
+        __m512i dd = _mm512_xor_si512(
+            _mm512_srli_epi32(v, 1),
+            _mm512_sub_epi32(vzero, _mm512_and_si512(v, vone)));
+        if (INTER) {
+            __m512i a = _mm512_loadu_si512((const void*)(d2in + s0));
+            if (ORD3) {
+                // partner's d3 = d2in[s] - d2in[s-1] (0 at channel
+                // start; the masked lane suppresses the d2in[-1] access)
+                __m512i b =
+                    s0 == 0
+                        ? _mm512_maskz_loadu_epi32(0xFFFE, d2in + s0 - 1)
+                        : _mm512_loadu_si512((const void*)(d2in + s0 - 1));
+                dd = _mm512_add_epi32(dd, _mm512_sub_epi32(a, b));
+            } else {
+                dd = _mm512_add_epi32(dd, a);
+            }
+        }
+        __m512i d2;
+        if (ORD3) {
+            d2 = vp_scan_carry(dd, ld2);
+        } else {
+            d2 = dd;
+            ld2 = vp_lane15(dd);
+        }
+        if (STASH)
+            _mm512_storeu_si512((void*)(d2out + s0), d2);
+        __m512i d1 = vp_scan_carry(d2, acc1);
+        __m512i sm = vp_scan_carry(d1, acc2);
+        int64_t left = L - s0;
+        if (left >= 16) {
+            _mm256_storeu_si256((__m256i*)(dst + s0),
+                                _mm512_cvtepi32_epi16(sm));
+        } else if (left > 0) {
+            _mm256_mask_storeu_epi16(
+                dst + s0, (__mmask16)((1u << left) - 1),
+                _mm512_cvtepi32_epi16(sm));
+        }
+    }
+}
+
+}  // namespace
+#endif  // VP_UNPACK_AVX512
+
 extern "C" {
 
 // Packets are addressed by independent (start, end) spans into pkt_data so
@@ -1010,6 +1147,50 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
                      ch_ubit ? (int64_t)ch_ubit[c] : 0};
         bool fail = false;
         int16_t* dst = out + c * L;
+#ifdef VP_UNPACK_AVX512
+        (void)st;
+        std::integral_constant<bool, false> F;
+        std::integral_constant<bool, true> T;
+        int32_t a1 = 0, a2 = 0, l2 = 0;
+        alignas(64) int32_t qv[128];
+        for (int64_t b = 0; b < NB; b++) {
+            uint8_t wb = widx[c * NB + b];
+            int wi = wb & 0x1F;
+            bool ord3 = wb & 0x20;
+            bool inter = (wb & 0x40) && d2in;
+            bool rice = wb & 0x80;
+            int64_t base = b * 128;
+            if (rice) {
+                // pre-scan this block's 128 unary high parts (same
+                // scanner + fail semantics as the scalar path)
+                for (int i = 0; i < 128; i++) {
+                    int64_t qq = un.next();
+                    if (qq < 0) { fail = true; qq = 0; }
+                    qv[i] = (int32_t)qq;
+                }
+            }
+            auto call = [&](auto o3, auto in, auto stv, auto rc_) {
+                vp_block_avx512<decltype(o3)::value, decltype(in)::value,
+                                decltype(stv)::value,
+                                decltype(rc_)::value>(
+                    p, wi, qv, d2in, d2out, base, L, dst, a1, a2, l2);
+            };
+            // same flag -> specialization mapping as the scalar dispatch
+            if (d2out) {
+                if (rice) { if (ord3) call(T, F, T, T); else call(F, F, T, T); }
+                else      { if (ord3) call(T, F, T, F); else call(F, F, T, F); }
+            } else if (inter) {
+                if (rice) { if (ord3) call(T, T, F, T); else call(F, T, F, T); }
+                else      { if (ord3) call(T, T, F, F); else call(F, T, F, F); }
+            } else {
+                if (rice) { if (ord3) call(T, F, F, T); else call(F, F, F, T); }
+                else      { if (ord3) call(T, F, F, F); else call(F, F, F, F); }
+            }
+            if (rice)
+                un.pos = (un.pos + 31) & ~(int64_t)31;
+            p += 16 * W[wi];
+        }
+#else
         auto run_block = [&](auto ord3_t, auto inter_t, auto stash_t,
                              auto rice_t, int w, int64_t base) {
             constexpr bool ORD3 = decltype(ord3_t)::value;
@@ -1081,6 +1262,7 @@ int vp_unpack_pcm(const uint8_t* data, int64_t nbytes, const uint8_t* widx,
             }
             p += 16 * w;
         }
+#endif  // VP_UNPACK_AVX512
         // a valid stream's cursor lands exactly on the channel cut; a
         // short segment (missing terminators) is a corrupt wire
         if (ch_ubit && un.pos != (int64_t)ch_ubit[c]) fail = true;
