@@ -14,12 +14,20 @@ import __graft_entry__ as graft
 
 
 def test_entry_compiles_and_runs():
+    """entry() must hand back the production fused-chunk program family:
+    jit-compiling it on one device and running the example wire buffers
+    yields the s16 dpack output wire (a non-empty u8 buffer whose header
+    word is a plausible payload byte count)."""
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     out.block_until_ready()
-    F, C, half = args[0].shape
-    assert out.shape == (F - 1, C, half)
-    assert np.isfinite(np.asarray(out)).all()
+    host = np.asarray(out)
+    assert host.dtype == np.uint8
+    assert host.size > 0
+    nbytes = int(host[:4].view(np.uint32)[0]) if host.ndim == 1 else int(
+        host.reshape(-1)[:4].view(np.uint32)[0]
+    )
+    assert 0 < nbytes <= host.size
 
 
 @pytest.mark.parametrize("n", [8, 4])
