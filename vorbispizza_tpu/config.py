@@ -38,6 +38,18 @@ class VorbisConfig:
     #              compressor is active)
     #   "raw"    — int16 as-is
     s16_wire: str = "dpack"
+    # floor1 wire format for the batch pipeline:
+    #   "ys"    — ship the CODED values (the bitstream's own prediction
+    #             residuals: u8 for posts 0/1, a zero bitmask + compacted
+    #             u8 nonzeros for the rest — ~59% of coded values are 0)
+    #             and run the spec 7.2.2 unwrap cascade on device
+    #             (ops/floor.floor1_unwrap). ~4.3 bits/value vs 9.125 for
+    #             "posts" on the bench corpus family. Falls back to
+    #             "posts" per floor config when a subclass book could
+    #             produce values > 255 (static gate) or ys was not
+    #             captured by the front end.
+    #   "posts" — ship unwrapped posts u8 + step2 bit planes.
+    floor1_wire: str = "ys"
     # residue wire format: "symbols" ships bit-packed codebook entry
     # numbers + classifications and expands on device (2-3x smaller than
     # packed values; bit-exact when every residue book is integer-valued);

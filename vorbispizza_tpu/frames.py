@@ -587,6 +587,9 @@ class FloorGroup:
     # floor1 tensors [F, n_ch, P] / floor0 tensors [F, n_ch, order]
     posts: np.ndarray | None = None
     step2: np.ndarray | None = None
+    # floor1 coded values (pre-unwrap, int16): the ys wire ships these
+    # and the device runs the unwrap cascade (ops/floor.floor1_unwrap)
+    ys: np.ndarray | None = None
     coefficients: np.ndarray | None = None
     amplitude: np.ndarray | None = None
     used: np.ndarray | None = None  # [F, n_ch] bool
@@ -821,6 +824,9 @@ def _extract_batch_native(
                     dec["posts"][idx][:, chs, : g.floor.n_posts]
                 )
                 g.step2 = dec["step2"][idx][:, chs, : g.floor.n_posts].astype(bool)
+                g.ys = np.ascontiguousarray(
+                    dec["ys"][idx][:, chs, : g.floor.n_posts]
+                )
             else:
                 g.coefficients = np.ascontiguousarray(
                     dec["f0_coeffs"][idx][:, chs, : g.floor.order]
@@ -865,6 +871,7 @@ def _extract_batch_python(plan: FramePlan, setup, channels: int) -> list[BucketB
                 P = g.floor.n_posts
                 g.posts = np.zeros((F, nc, P), dtype=np.int32)
                 g.step2 = np.zeros((F, nc, P), dtype=bool)
+                g.ys = np.zeros((F, nc, P), dtype=np.int16)
             else:
                 g.coefficients = np.zeros((F, nc, g.floor.order), dtype=np.float32)
                 g.amplitude = np.zeros((F, nc), dtype=np.int32)
@@ -886,6 +893,8 @@ def _extract_batch_python(plan: FramePlan, setup, channels: int) -> list[BucketB
                     if g.floor.floor_type == 1:
                         g.posts[fi, ci] = fd.posts
                         g.step2[fi, ci] = fd.step2
+                        if fd.ys is not None:
+                            g.ys[fi, ci] = np.minimum(fd.ys, 32767)
                     else:
                         g.coefficients[fi, ci] = fd.coefficients
                         g.amplitude[fi, ci] = fd.amplitude

@@ -174,6 +174,12 @@ def merge_streams(items):
                 g.step2 = np.concatenate(
                     [p[0].floor_groups[gi].step2 for p in parts]
                 )
+                if all(
+                    p[0].floor_groups[gi].ys is not None for p in parts
+                ):
+                    g.ys = np.concatenate(
+                        [p[0].floor_groups[gi].ys for p in parts]
+                    )
             else:
                 g.coefficients = np.concatenate(
                     [p[0].floor_groups[gi].coefficients for p in parts]

@@ -35,7 +35,7 @@ from ..dsp.window import full_window
 from ..frames import BatchUnsupported, BucketBatch, FramePlan, build_plan, extract_batch
 from ..ogg.container import OggContainer
 from ..ops.coupling import inverse_couple_batch
-from ..ops.floor import floor0_curves, floor1_curves
+from ..ops.floor import floor0_curves, floor1_curves, floor1_unwrap
 from ..ops.imdct import imdct_window_batch
 from ..ops.ola import OlaUnsupported, block_assemble_wide
 from ..ops import pcm_pack
@@ -214,19 +214,66 @@ class BatchSynthesizer:
 
 
     @staticmethod
-    def _group_meta(bucket: BucketBatch):
+    def _floor1_ys_ok(floor) -> bool:
+        """Static gate for the coded-ys floor1 wire: every value the
+        bitstream can put into ys fits u8 (posts 0/1 are y_bits <= 8 wide
+        since range <= 256; the rest are subclass-book ENTRY numbers, so
+        books with <= 256 entries bound them statically). Config-level,
+        so every chunk of every shard makes the same choice."""
+        return all(
+            b is None or b.entries <= 256
+            for books in floor.subclass_books
+            for b in books
+        )
+
+    @staticmethod
+    def _group_meta(bucket: BucketBatch, pads: dict | None = None):
+        from ..config import VorbisConfig
+
         metas = []
         inputs = []
-        for g in bucket.floor_groups:
+        for gi, g in enumerate(bucket.floor_groups):
             if g.floor.floor_type == 1:
-                metas.append(
-                    dict_frozen(
-                        type=1,
-                        channels=tuple(g.channels),
-                        xs=tuple(int(x) for x in g.floor.xs),
-                        multiplier=g.floor.multiplier,
-                    )
+                use_ys = (
+                    VorbisConfig.default.floor1_wire == "ys"
+                    and g.ys is not None
+                    and BatchSynthesizer._floor1_ys_ok(g.floor)
                 )
+                if use_ys:
+                    # quantized nonzero-count capacity (the compacted u8
+                    # value stream): part of the static meta so the jit
+                    # signature is stable across similar chunks and
+                    # shards (pads force it up to the cross-shard max).
+                    # Measured on the bench corpus family: ~59% of tail
+                    # values are zero, the rest spread to ~116 — a zero
+                    # bitmask + u8 nonzeros is ~4.3 bits/val vs the 9.125
+                    # of posts u8 + step2 bits (a nibble+escape wire was
+                    # sized first and REJECTED: 29% escape rate).
+                    n_nz = int(np.count_nonzero(g.ys[:, :, 2:]))
+                    nz_cap = _pad_size(max(n_nz, 1), 2048)
+                    if pads:
+                        nz_cap = max(
+                            nz_cap, pads.get(("ysnz", bucket.key, gi), 0)
+                        )
+                    metas.append(
+                        dict_frozen(
+                            type=1,
+                            channels=tuple(g.channels),
+                            xs=tuple(int(x) for x in g.floor.xs),
+                            multiplier=g.floor.multiplier,
+                            wire="ys",
+                            nz_cap=nz_cap,
+                        )
+                    )
+                else:
+                    metas.append(
+                        dict_frozen(
+                            type=1,
+                            channels=tuple(g.channels),
+                            xs=tuple(int(x) for x in g.floor.xs),
+                            multiplier=g.floor.multiplier,
+                        )
+                    )
                 inputs.append(
                     {"posts": g.posts, "step2": g.step2, "used": g.used}
                 )
@@ -546,12 +593,27 @@ class BatchSynthesizer:
                 nc = len(meta["channels"])
                 if meta["type"] == 1:
                     P = len(meta["xs"])
-                    g = {
-                        "posts": slot("u8", (Fp, nc, P)),
-                        # one bit per post, packed little-endian (u8[P]
-                        # would be 7/8ths padding on the wire)
-                        "step2": slot("u8", (Fp, nc, (P + 7) // 8)),
-                    }
+                    if dict(meta).get("wire") == "ys":
+                        # coded-values wire: posts 0/1 raw u8 (y_bits wide),
+                        # the other P-2 values as a zero bitmask + the
+                        # compacted nonzero values u8 (~59% of coded
+                        # values are zero); the device rebuilds ys and
+                        # runs the spec 7.2.2 unwrap cascade
+                        # (ops/floor.floor1_unwrap)
+                        P2 = P - 2
+                        g = {"ys01": slot("u8", (Fp, nc, 2))}
+                        if P2 > 0:
+                            g["ysmask"] = slot(
+                                "u8", (Fp, nc, (P2 + 7) // 8)
+                            )
+                            g["ysnz"] = slot("u8", (meta["nz_cap"],))
+                    else:
+                        g = {
+                            "posts": slot("u8", (Fp, nc, P)),
+                            # one bit per post, packed little-endian (u8[P]
+                            # would be 7/8ths padding on the wire)
+                            "step2": slot("u8", (Fp, nc, (P + 7) // 8)),
+                        }
                 else:
                     g = {
                         "coefficients": slot("f32", (Fp, nc, meta["order"])),
@@ -602,6 +664,60 @@ class BatchSynthesizer:
                 for meta, g in zip(metas, e["groups"]):
                     if meta["type"] == 1:
                         P = len(meta["xs"])
+                        if "ys01" in g:
+                            # coded-values wire: rebuild ys from the
+                            # zero bitmask + compacted nonzero stream,
+                            # then run the unwrap cascade on device
+                            nc = len(meta["channels"])
+                            Fp_ = Fp
+                            ys01 = take(g["ys01"]).astype(jnp.int32)
+                            if P > 2:
+                                P2 = P - 2
+                                mb = take(g["ysmask"])
+                                mask = (
+                                    jnp.repeat(mb, 8, axis=-1)[..., :P2]
+                                    >> (
+                                        jnp.arange(P2, dtype=jnp.uint8)
+                                        % 8
+                                    )
+                                ) & 1
+                                flat = mask.reshape(-1).astype(jnp.int32)
+                                # rank of each set bit = index into the
+                                # compacted stream (padded frames have
+                                # zero mask, so ranks stay aligned)
+                                rank = jnp.cumsum(flat) - 1
+                                vals = take(g["ysnz"]).astype(jnp.int32)
+                                cap = int(meta["nz_cap"])
+                                tail = jnp.where(
+                                    flat > 0,
+                                    jnp.take(
+                                        vals,
+                                        jnp.clip(rank, 0, cap - 1),
+                                    ),
+                                    0,
+                                ).reshape(Fp_, nc, P2)
+                                ysf = jnp.concatenate(
+                                    [ys01, tail], axis=-1
+                                )
+                            else:
+                                ysf = ys01
+                            posts_d, step2_d = floor1_unwrap(
+                                ysf.reshape(Fp_ * nc, P),
+                                xs=meta["xs"],
+                                multiplier=meta["multiplier"],
+                            )
+                            floor_inputs.append(
+                                {
+                                    "posts": posts_d.reshape(
+                                        Fp_, nc, P
+                                    ),
+                                    "step2": step2_d.reshape(
+                                        Fp_, nc, P
+                                    ),
+                                    "used": take(g["used"], bool_=True),
+                                }
+                            )
+                            continue
                         s2b = take(g["step2"])  # packed bits [Fp, nc, B]
                         step2 = (
                             jnp.repeat(s2b, 8, axis=-1)[..., :P]
@@ -796,7 +912,7 @@ class BatchSynthesizer:
         sizes as SHIPPED (padded layout), keyed by wire component. Pure
         host-side bookkeeping; the produced arrays and sig are identical."""
         PG = self.PACK_GRAN
-        metas_per = [self._group_meta(b)[0] for b in buckets]
+        metas_per = [self._group_meta(b, pads=pads)[0] for b in buckets]
         # Residue wire format per bucket:
         #   symbol transport (b.sym) — bit-packed classifications + VQ entry
         #   streams, expanded on device (2-3x smaller than packed values);
@@ -925,8 +1041,14 @@ class BatchSynthesizer:
                 for ge, meta in zip(e_["groups"], metas_):
                     _acc("floor_used", ge["used"])
                     if meta["type"] == 1:
-                        _acc("floor1_posts", ge["posts"])
-                        _acc("floor1_step2", ge["step2"])
+                        if "ys01" in ge:
+                            _acc("floor1_ys01", ge["ys01"])
+                            if "ysnz" in ge:
+                                _acc("floor1_ysmask", ge["ysmask"])
+                                _acc("floor1_ysnz", ge["ysnz"])
+                        else:
+                            _acc("floor1_posts", ge["posts"])
+                            _acc("floor1_step2", ge["step2"])
                     else:
                         _acc("floor0_coeffs", ge["coefficients"])
                         _acc("floor0_amp", ge["amplitude"])
@@ -971,13 +1093,41 @@ class BatchSynthesizer:
             for g, ge, meta in zip(bucket.floor_groups, e["groups"], metas):
                 put(ge["used"], g.used.astype(np.uint8))
                 if meta["type"] == 1:
-                    put(ge["posts"], g.posts.astype(np.uint8))
-                    put(
-                        ge["step2"],
-                        np.packbits(
-                            g.step2.astype(bool), axis=-1, bitorder="little"
-                        ),
-                    )
+                    if "ys01" in ge:
+                        ys = g.ys.astype(np.int32)  # [F, nc, P]
+                        put(ge["ys01"], ys[:, :, :2].astype(np.uint8))
+                        if "ysnz" in ge:
+                            tail = ys[:, :, 2:]
+                            mask = tail != 0
+                            put(
+                                ge["ysmask"],
+                                np.packbits(
+                                    mask, axis=-1, bitorder="little"
+                                ),
+                            )
+                            # compacted nonzero values, row-major scan
+                            # order (matches the device's cumsum-rank
+                            # over the Fp-padded mask: padded frames
+                            # carry zero mask bits)
+                            cap = ge["ysnz"][2][0]
+                            nz = tail[mask]
+                            if nz.size > cap:
+                                raise BatchUnsupported(
+                                    "floor1 ys nonzero stream overflow"
+                                )
+                            nz_w = np.zeros(cap, dtype=np.uint8)
+                            nz_w[: nz.size] = nz
+                            put(ge["ysnz"], nz_w)
+                    else:
+                        put(ge["posts"], g.posts.astype(np.uint8))
+                        put(
+                            ge["step2"],
+                            np.packbits(
+                                g.step2.astype(bool),
+                                axis=-1,
+                                bitorder="little",
+                            ),
+                        )
                 else:
                     put(ge["coefficients"], g.coefficients)
                     put(ge["amplitude"], g.amplitude)
@@ -1074,6 +1224,10 @@ def sig_pads(sig) -> dict:
     statics, padded_n, seg_sig, out_len = sig[0], sig[1], sig[2], sig[3]
     for (key, _metas), pn in zip(statics, padded_n):
         pads[("Fp", key)] = pn[0]
+        for gi, meta in enumerate(_metas):
+            m = dict(meta)
+            if m.get("wire") == "ys":
+                pads[("ysnz", key, gi)] = m["nz_cap"]
         if pn[2] == "sym":
             g_seq = 0
             for ss in pn[3]:

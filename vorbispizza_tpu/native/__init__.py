@@ -81,6 +81,7 @@ def _load():
             C.POINTER(C.c_uint8),             # used
             C.POINTER(C.c_float),             # f0_coeffs
             C.POINTER(C.c_int32),             # f0_amp
+            C.POINTER(C.c_int16),             # ys (coded floor1 values)
             C.c_int,                          # n_threads
         ]
         lib.vp_unpack_pcm.restype = C.c_int
@@ -103,6 +104,7 @@ def _load():
             C.POINTER(C.c_uint8),             # used
             C.POINTER(C.c_float),             # f0_coeffs
             C.POINTER(C.c_int32),             # f0_amp
+            C.POINTER(C.c_int16),             # ys (coded floor1 values)
             C.POINTER(C.c_uint8),             # cls
             C.POINTER(C.c_uint16),            # syms
             C.POINTER(C.c_uint16),            # slots
@@ -234,7 +236,8 @@ def decode_packet_spans(
     audio bits consumed — exact StreamStats accounting),
     residues [P,C,max_half] f32 (pre-coupling), posts [P,C,65] i32,
     step2 [P,C,65] u8, used [P,C] u8, f0_coeffs [P,C,max_order] f32,
-    f0_amp [P,C] i32."""
+    f0_amp [P,C] i32, ys [P,C,65] i16 (coded floor1 values, pre-unwrap,
+    saturated to 32767)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native front end unavailable: {_build_error}")
@@ -252,6 +255,7 @@ def decode_packet_spans(
     mo = max(max_order, 1)
     f0_coeffs = np.zeros((P, channels, mo), dtype=np.float32)
     f0_amp = np.zeros((P, channels), dtype=np.int32)
+    ys = np.zeros((P, channels, 65), dtype=np.int16)
 
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
@@ -266,6 +270,7 @@ def decode_packet_spans(
         _ptr(used, C.c_uint8),
         _ptr(f0_coeffs, C.c_float),
         _ptr(f0_amp, C.c_int32),
+        _ptr(ys, C.c_int16),
         int(n_threads),
     )
     if rc != 0:
@@ -278,6 +283,7 @@ def decode_packet_spans(
         "used": used,
         "f0_coeffs": f0_coeffs,
         "f0_amp": f0_amp,
+        "ys": ys,
     }
 
 
@@ -346,7 +352,8 @@ def decode_packet_spans_sym(
     (see native/symbols.py for the wire contract). ``layout`` is the
     SymLayout from symbols.symbol_layout().
 
-    Returns the decode_packet_spans dict minus ``residues``, plus
+    Returns the decode_packet_spans dict minus ``residues`` (``ys``
+    included), plus
     cls [P,C,pt_max] u8, syms [P,sym_cap] u16, slots [P,sym_cap] u16 (one
     traversal slot id pv = partition*V + vector_row per APPLIED partition,
     group-major like syms), sym_counts [P,n_groups] i32,
@@ -365,6 +372,7 @@ def decode_packet_spans_sym(
     mo = max(max_order, 1)
     f0_coeffs = np.zeros((P, channels, mo), dtype=np.float32)
     f0_amp = np.zeros((P, channels), dtype=np.int32)
+    ys = np.zeros((P, channels, 65), dtype=np.int16)
     cls = np.empty((P, channels, layout.pt_max), dtype=np.uint8)
     syms = np.empty((P, layout.sym_cap), dtype=np.uint16)
     slots = np.empty((P, layout.sym_cap), dtype=np.uint16)
@@ -383,6 +391,7 @@ def decode_packet_spans_sym(
         _ptr(used, C.c_uint8),
         _ptr(f0_coeffs, C.c_float),
         _ptr(f0_amp, C.c_int32),
+        _ptr(ys, C.c_int16),
         _ptr(cls, C.c_uint8),
         _ptr(syms, C.c_uint16),
         _ptr(slots, C.c_uint16),
@@ -400,6 +409,7 @@ def decode_packet_spans_sym(
         "used": used,
         "f0_coeffs": f0_coeffs,
         "f0_amp": f0_amp,
+        "ys": ys,
         "cls": cls,
         "syms": syms,
         "slots": slots,

@@ -326,9 +326,14 @@ bool parse_setup(const uint8_t* blob, int64_t len, Setup& s) {
 
 // ---------------------------------------------------------------- floor decode
 
-// mirror of Floor1.unpack + _unwrap (setup/floor.py:212,245)
+// mirror of Floor1.unpack + _unwrap (setup/floor.py:212,245); also emits
+// the CODED values ys (pre-unwrap prediction residuals) so the batch
+// pipeline can ship those and run the unwrap cascade on device
+// (ops/floor.py floor1_unwrap; saturated to int16 — the ys wire is only
+// taken when the static subclass-book gate proves ys <= 255)
 bool floor1_unpack(const Floor1V& f, const Setup& s, BitReader& br,
-                   int32_t* out_posts, uint8_t* out_step2) {
+                   int32_t* out_posts, uint8_t* out_step2,
+                   int16_t* out_ys) {
     if (!br.read(1) || br.overrun) return false;
     int64_t ys[65];
     ys[0] = (int64_t)br.read((int)f.y_bits);
@@ -358,6 +363,13 @@ bool floor1_unpack(const Floor1V& f, const Setup& s, BitReader& br,
         offset += cdim;
     }
     if (br.overrun) return false;
+
+    if (out_ys) {
+        for (uint32_t i = 0; i < f.n_posts; i++) {
+            int64_t v = ys[i];
+            out_ys[i] = (int16_t)(v > 32767 ? 32767 : v);
+        }
+    }
 
     // unwrap (prediction + room folding)
     int64_t rng = f.range;
@@ -633,6 +645,7 @@ struct Outputs {
     uint8_t* used;       // [n_pkts, C]
     float* f0_coeffs;    // [n_pkts, C, max_order] (or null)
     int32_t* f0_amp;     // [n_pkts, C] (or null)
+    int16_t* ys;         // [n_pkts, C, 65] coded floor1 values (or null)
 };
 
 struct Scratch {
@@ -679,7 +692,8 @@ void decode_one(const Setup& s, const uint8_t* data, int64_t len, int64_t pkt,
         if (fl.ftype == 1) {
             ok = floor1_unpack(fl.f1, s, br,
                                o.posts + (pkt * C + c) * 65,
-                               o.step2 + (pkt * C + c) * 65);
+                               o.step2 + (pkt * C + c) * 65,
+                               o.ys ? o.ys + (pkt * C + c) * 65 : nullptr);
         } else {
             ok = floor0_unpack(fl.f0, s, br,
                                o.f0_coeffs + (pkt * C + c) * s.max_order,
@@ -967,11 +981,12 @@ int vp_decode_packets(const uint8_t* blob, int64_t blob_len,
                       const int64_t* pkt_end,
                       int64_t n_pkts, int32_t* meta, float* residues,
                       int32_t* posts, uint8_t* step2, uint8_t* used,
-                      float* f0_coeffs, int32_t* f0_amp, int n_threads) {
+                      float* f0_coeffs, int32_t* f0_amp, int16_t* ys,
+                      int n_threads) {
     Setup s;
     if (!parse_setup(blob, blob_len, s)) return -1;
     if (s.channels > 256) return -2;
-    Outputs o{meta, residues, posts, step2, used, f0_coeffs, f0_amp};
+    Outputs o{meta, residues, posts, step2, used, f0_coeffs, f0_amp, ys};
 
     if (n_threads < 1) n_threads = 1;
     if (n_threads > (int)n_pkts) n_threads = (int)(n_pkts > 0 ? n_pkts : 1);
@@ -1010,6 +1025,7 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
                           const int64_t* pkt_end, int64_t n_pkts,
                           int32_t* meta, int32_t* posts, uint8_t* step2,
                           uint8_t* used, float* f0_coeffs, int32_t* f0_amp,
+                          int16_t* ys,
                           uint8_t* cls, uint16_t* syms, uint16_t* slots,
                           int32_t* sym_counts,
                           int32_t* pair_counts, int64_t pt_max,
@@ -1021,7 +1037,7 @@ int vp_decode_packets_sym(const uint8_t* blob, int64_t blob_len,
     build_group_tables(s);
     for (int32_t g : s.n_groups_of)
         if (g > n_groups) return -4;  // group table disagreement with caller
-    Outputs o{meta, nullptr, posts, step2, used, f0_coeffs, f0_amp};
+    Outputs o{meta, nullptr, posts, step2, used, f0_coeffs, f0_amp, ys};
     SymOut so{cls, syms, slots, sym_counts, pair_counts,
               pt_max, sym_cap, n_groups, n_sp};
     std::memset(cls, 0xFF, (size_t)(n_pkts * s.channels * pt_max));

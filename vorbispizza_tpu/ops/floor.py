@@ -115,6 +115,83 @@ def floor1_curves(
     return jnp.where(used[:, None], curve, 0.0)
 
 
+@partial(jax.jit, static_argnames=("xs", "multiplier"))
+def floor1_unwrap(
+    ys: jax.Array,  # [G, P] int32 — coded values (bitstream prediction
+    #                 residuals), config x order; 0 where no subclass book
+    *,
+    xs: tuple[int, ...],  # static: post X positions, config order
+    multiplier: int,  # static
+) -> tuple[jax.Array, jax.Array]:
+    """Amplitude value synthesis on device (spec 7.2.2 step 2).
+
+    Bit-exact mirror of ``setup/floor.py Floor1._unwrap`` (the reference's
+    ``Floor1.UnwrapPosts``, NVorbis/Floor1.cs:270), vectorized over G
+    rows: the low/high neighbor tables and X positions are static per
+    floor config, so the cascade unrolls into <= 63 steps of elementwise
+    int32 ops on [G] columns — no gathers, no dynamic indexing. Shipping
+    the coded values instead of unwrapped posts+step2 cuts the floor1
+    wire roughly in half (posts u8 + step2 bits -> ys nibbles).
+
+    All intermediates fit int32 when ys <= 255 (the nibble+escape wire's
+    own cap, enforced statically by the subclass-book gate in
+    models/pipeline.py): predicted stays within [-256, 511] and the
+    render_point product |dy| * (x - x0) <= ~767 * 32768.
+
+    Returns (posts [G, P] int32 clamped to the floor range, step2 [G, P]
+    bool).
+    """
+    P = len(xs)
+    xs_np = np.asarray(xs, dtype=np.int64)
+    rng = (256, 128, 86, 64)[multiplier - 1]
+    # static neighbor tables (same derivation as Floor1.__init__)
+    low_nb = [0] * P
+    high_nb = [0] * P
+    for i in range(2, P):
+        below = [j for j in range(i) if xs_np[j] < xs_np[i]]
+        above = [j for j in range(i) if xs_np[j] > xs_np[i]]
+        low_nb[i] = max(below, key=lambda j: xs_np[j])
+        high_nb[i] = min(above, key=lambda j: xs_np[j])
+
+    ysc = ys.astype(jnp.int32)
+    G = ysc.shape[0]
+    true_col = jnp.ones((G,), dtype=bool)
+    final = [ysc[:, 0], ysc[:, 1]]
+    step2 = [true_col, true_col] + [None] * (P - 2)
+    for i in range(2, P):
+        lo, hi = low_nb[i], high_nb[i]
+        y0, y1 = final[lo], final[hi]
+        # render_point with static x geometry (spec 9.2.6)
+        dy = y1 - y0
+        adx = int(xs_np[hi] - xs_np[lo])
+        dx = int(xs_np[i] - xs_np[lo])
+        off = (jnp.abs(dy) * dx) // adx
+        predicted = jnp.where(dy < 0, y0 - off, y0 + off)
+        val = ysc[:, i]
+        highroom = rng - predicted
+        lowroom = predicted
+        room = 2 * jnp.minimum(highroom, lowroom)
+        big = jnp.where(
+            highroom > lowroom,
+            val - lowroom + predicted,
+            predicted - val + highroom - 1,
+        )
+        small = jnp.where(
+            (val & 1) == 1,
+            predicted - ((val + 1) >> 1),
+            predicted + (val >> 1),
+        )
+        nz = val != 0
+        final.append(
+            jnp.where(nz, jnp.where(val >= room, big, small), predicted)
+        )
+        step2[i] = nz
+        step2[lo] = step2[lo] | nz
+        step2[hi] = step2[hi] | nz
+    posts = jnp.clip(jnp.stack(final, axis=1), 0, rng - 1)
+    return posts, jnp.stack(step2, axis=1)
+
+
 @partial(
     jax.jit,
     static_argnames=(

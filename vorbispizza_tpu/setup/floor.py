@@ -40,6 +40,9 @@ class FloorData:
     # floor1: final post Y values (after unwrap) and step2 flags, in x order
     posts: np.ndarray | None = None  # int32 [n_posts]
     step2: np.ndarray | None = None  # bool  [n_posts]
+    # floor1: coded values (pre-unwrap prediction residuals) — the ys wire
+    # ships these and runs the unwrap cascade on device (ops/floor.py)
+    ys: np.ndarray | None = None  # int64 [n_posts]
     # floor0: amplitude + LSP coefficients
     amplitude: int = 0
     coefficients: np.ndarray | None = None  # float32 [order]
@@ -240,7 +243,7 @@ class Floor1:
         if br.overrun:
             return FloorData(unused=True)
         posts, step2 = self._unwrap(ys)
-        return FloorData(unused=False, posts=posts, step2=step2)
+        return FloorData(unused=False, posts=posts, step2=step2, ys=ys)
 
     def _unwrap(self, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Amplitude value synthesis: prediction + room folding
