@@ -38,6 +38,14 @@ class VorbisConfig:
     #              compressor is active)
     #   "raw"    — int16 as-is
     s16_wire: str = "dpack"
+    # rice mode inside the dpack wire: per-block k-bit plane + unary high
+    # parts, ~13% fewer d2h bytes on music but slower to pack (exec-only
+    # 1517x -> 1056x measured). "auto" enables it only when the measured
+    # d2h rate (utils/link.py) is below s16_rice_threshold_mbps — below
+    # that the byte saving outruns the exec cost, above it (PCIe/ICI)
+    # rice is a pure loss. "on"/"off" force it.
+    s16_rice: str = "auto"
+    s16_rice_threshold_mbps: float = 90.0
     # floor1 wire format for the batch pipeline:
     #   "ys"    — ship the CODED values (the bitstream's own prediction
     #             residuals: u8 for posts 0/1, a zero bitmask + compacted

@@ -214,6 +214,22 @@ class BatchSynthesizer:
 
 
     @staticmethod
+    def _resolve_rice() -> bool:
+        """Link-aware rice-mode choice for the dpack wire: rice trades
+        exec for wire bytes, which only pays below ~90 MB/s of d2h
+        (config.s16_rice / s16_rice_threshold_mbps; measured link rate
+        from utils/link.py, +inf on CPU backends)."""
+        from ..config import VorbisConfig
+        from ..utils.link import d2h_rate_estimate
+
+        cfg = VorbisConfig.default
+        if cfg.s16_rice == "on":
+            return True
+        if cfg.s16_rice == "off":
+            return False
+        return d2h_rate_estimate() < cfg.s16_rice_threshold_mbps * 1e6
+
+    @staticmethod
     def _floor1_ys_ok(floor) -> bool:
         """Static gate for the coded-ys floor1 wire: every value the
         bitstream can put into ys fits u8 (posts 0/1 are y_bits <= 8 wide
@@ -837,8 +853,9 @@ class BatchSynthesizer:
                             ucap,
                         )
                         urow = pcm_pack.UNARY_ROW_WORDS_SOFT
+                    rice = sig[6] if len(sig) > 6 else True
                     payload, nbytes, widx, ch_ubit = pack_pcm(
-                        q, cap, ucap, urow
+                        q, cap, ucap, urow, rice=rice
                     )
                     hdr = (
                         nbytes >> jnp.asarray([0, 8, 16, 24], jnp.int32)
@@ -1173,6 +1190,12 @@ class BatchSynthesizer:
             out_len,
             F_tab,
             output,
+            # rice-mode flag for the dpack wire (sig[6]): resolved from
+            # config + measured link rate; True for non-dpack outputs so
+            # their signatures stay link-independent
+            self._resolve_rice()
+            if output in ("s16d", "s16df")
+            else True,
         )
         return sig, host_args, total
 

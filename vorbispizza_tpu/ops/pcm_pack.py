@@ -126,7 +126,7 @@ def pair_partner(C: int) -> np.ndarray:
     return np.where(ch % 2 == 1, ch - 1, ch)
 
 
-def select_candidate(q: jnp.ndarray):
+def select_candidate(q: jnp.ndarray, rice: bool = True):
     """Stage 1 of pack_pcm: per-block (candidate x coding-mode) choice by
     exact bit cost. Candidates:
       d2      second difference (baseline; always fits 18 bits)
@@ -154,7 +154,13 @@ def select_candidate(q: jnp.ndarray):
     [NBt] rung index; blk_flags i32 [NBt]; ulen i32 [NBt, BLOCK]
     per-sample unary lengths (q_i + 1 on rice blocks, 0 elsewhere) for
     pack_unary). Module-level so tools/ablate.py can snap the candidate
-    search out (d2-only) and attribute its exec cost."""
+    search out (d2-only) and attribute its exec cost.
+
+    ``rice=False`` disables the rice candidate entirely (width-only
+    coding, ulen all-zero): the rice mode trades exec for wire bytes
+    (measured 1517x -> 1056x exec-only for ~2.2 MB/chunk d2h), which
+    only pays on links below ~90 MB/s — config.s16_rice/"auto" picks per
+    the measured link rate (utils/link.py)."""
     C, L = q.shape
     NB = -(-L // BLOCK)
     pad = NB * BLOCK - L
@@ -196,27 +202,32 @@ def select_candidate(q: jnp.ndarray):
         wi = width_index(m)
         wcost = jnp.take(w_tbl, wi) * BLOCK
         wcost = jnp.where(m > ((1 << MAX_W) - 1), INF, wcost)
-        # rice: per rung k, B*k + the word-aligned unary segment
-        # (sum(z>>k) + B terminators, rounded up to 32); argmin picks
-        # the smallest k on ties (rungs are ascending)
-        rstack = jnp.stack(
-            [
-                BLOCK * int(kw)
-                + (
-                    (
-                        (cb >> int(kw)).sum(axis=1).astype(jnp.int32)
-                        + BLOCK
-                        + 31
+        if rice:
+            # rice: per rung k, B*k + the word-aligned unary segment
+            # (sum(z>>k) + B terminators, rounded up to 32); argmin picks
+            # the smallest k on ties (rungs are ascending)
+            rstack = jnp.stack(
+                [
+                    BLOCK * int(kw)
+                    + (
+                        (
+                            (cb >> int(kw)).sum(axis=1).astype(jnp.int32)
+                            + BLOCK
+                            + 31
+                        )
+                        & ~31
                     )
-                    & ~31
-                )
-                for kw in rice_w
-            ]
-        )
-        rbest = jnp.argmin(rstack, axis=0)
-        rcost = jnp.take_along_axis(rstack, rbest[None, :], axis=0)[0]
-        use_rice = rcost < wcost  # ties -> width (no unary to decode)
-        cost = jnp.minimum(rcost, wcost)
+                    for kw in rice_w
+                ]
+            )
+            rbest = jnp.argmin(rstack, axis=0)
+            rcost = jnp.take_along_axis(rstack, rbest[None, :], axis=0)[0]
+            use_rice = rcost < wcost  # ties -> width (no unary to decode)
+            cost = jnp.minimum(rcost, wcost)
+        else:
+            rbest = jnp.zeros_like(wi)
+            use_rice = jnp.zeros(wi.shape, dtype=bool)
+            cost = wcost
         if flags[k] & (1 << 6):
             cost = jnp.where(inter_ok, cost, INF)
         costs.append(cost)
@@ -513,6 +524,7 @@ def pack_pcm(
     cap_groups: int | None = None,
     cap_uwords: int | None = None,
     cap_urow: int = UNARY_WORDS_FULL_PER_BLOCK,
+    rice: bool = True,
 ):
     """Device-side pack: q int32 [C, L] (s16-range) ->
     (payload u8 [16*cap_groups + 4*cap_uwords], nbytes int32,
@@ -529,7 +541,7 @@ def pack_pcm(
     compaction, unary deposit+compaction — live as module-level
     functions so the on-chip ablation can attribute them."""
     C = q.shape[0]
-    blk, widx, blk_flags, ulen = select_candidate(q)
+    blk, widx, blk_flags, ulen = select_candidate(q, rice=rice)
     words = words_matmul(blk)
     NBt = blk.shape[0]
     if cap_groups is None:
@@ -537,6 +549,15 @@ def pack_pcm(
     if cap_uwords is None:
         cap_uwords = NBt * UNARY_WORDS_FULL_PER_BLOCK
     packed, nb_plane = compact(words, widx, cap_groups)
+    if not rice:
+        # width-only wire: no unary section at all (a valid rice wire
+        # with zero rice blocks — the host unpack needs no flag)
+        return (
+            packed,
+            nb_plane,
+            (widx | blk_flags).astype(jnp.uint8),
+            jnp.zeros(C, jnp.uint32),
+        )
     ubytes, ub_true, ch_ubit, row_over = pack_unary(
         ulen, C, cap_uwords, cap_urow
     )
