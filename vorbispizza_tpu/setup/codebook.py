@@ -74,6 +74,7 @@ class Codebook:
     __slots__ = (
         "dimensions", "entries", "map_type", "lookup_table",
         "_prefix_sym", "_prefix_len", "_overflow", "max_len", "_prefix_mask",
+        "code_lengths",
     )
 
     def __init__(self, br: BitReader):
@@ -118,6 +119,9 @@ class Codebook:
     def _build_decoder(self, lengths: list[int]) -> None:
         codes = assign_codewords(lengths)
         self.max_len = max((l for l in lengths if l > 0), default=0)
+        # kept for the symbol-wire frequency-rank remap (shorter codeword
+        # == more frequent by the encoder's own Huffman construction)
+        self.code_lengths = np.asarray(lengths, dtype=np.int32)
         self._prefix_mask = (1 << PREFIX_BITS) - 1
         size = 1 << PREFIX_BITS
         prefix_sym = np.full(size, -1, dtype=np.int32)
