@@ -108,6 +108,44 @@ def test_batch_multiplexed_streams():
         assert np.abs(got - ref).max() <= 2e-6
 
 
+def test_batch_multiplexed_floor0_and_5_1():
+    """The two hardest setup families sharing one physical stream — a
+    hand-built FLOOR0 (LSP) logical stream and a 5.1 (polar coupling +
+    Residue2) stream — each batch-decoded straight off the multiplexed
+    container's providers (the scalar-path twin lives in
+    test_synth_vectors; this pins the BATCH pipeline's demux
+    integration). Floor0 is f32 on device like libvorbis, so its budget
+    is vs the scalar decode at the device tolerance."""
+    import io
+
+    from vorbispizza_tpu.models.pipeline import decode_stream_batch
+    from vorbispizza_tpu.ogg.container import OggContainer
+    from vorbispizza_tpu.testing.encode import (
+        encode_vorbis,
+        make_signal,
+        multiplex_streams,
+    )
+    from vorbispizza_tpu.testing.rawstream import make_floor0_stream
+
+    f0 = make_floor0_stream(n_packets=24)  # serial 777
+    s51 = encode_vorbis(
+        make_signal(6, 0.4, kind="music", seed=9), quality=0.3, serial=333
+    )
+    muxed = multiplex_streams(f0, s51)
+    container = OggContainer(io.BytesIO(muxed))
+    assert container.try_init()
+    container.find_next_stream()
+    assert [p.serial for p in container.providers[:2]] == [777, 333]
+    for src, provider, tol in (
+        (f0, container.providers[0], 1e-4),  # floor0: f32 LSP synth
+        (s51, container.providers[1], 2e-6),
+    ):
+        ref = scalar_decode(src)
+        got = decode_stream_batch(provider)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= tol
+
+
 def test_decode_corpus_multi_device(small_corpus):
     """Stream-level data parallelism: merged chunks round-robin across
     devices produce identical PCM to the single-device path."""
