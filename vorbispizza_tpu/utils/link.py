@@ -40,13 +40,19 @@ def d2h_rate_estimate(force: float | None = None) -> float:
             _cached = float("inf")
             return _cached
         try:
-            # computed (incompressible) payload; the pull of real data is
-            # the only reliable completion signal on the tunnel
+            # computed payload that stays INCOMPRESSIBLE on the wire: the
+            # pulled bytes must look random or an in-flight compressor
+            # (the attached tunnel has one) inflates the measured rate —
+            # observed: an f32 cast of random int16 (two predictable
+            # bytes of four) measured >90 MB/s on a ~35 MB/s link and
+            # flipped the rice auto-choice the wrong way. int16 wrapping
+            # multiply keeps every byte random. The pull of real data is
+            # also the only reliable completion signal here.
             x = np.random.default_rng(0).integers(
-                -30000, 30000, size=(1 << 20,), dtype=np.int16
+                -30000, 30000, size=(2 << 20,), dtype=np.int16
             )
             d = jax.device_put(x)
-            y = d.astype(jnp.float32) * 1.0007
+            y = d * np.int16(31337) + np.int16(77)
             np.asarray(y.sum())  # ensure computed before timing
             t0 = time.perf_counter()
             np.asarray(y)
