@@ -586,16 +586,21 @@ def decode_corpus(
                 # pull 150-220 ms vs 1.2 ms once the copy has landed).
                 # The payload size is content-dependent and only known on
                 # device, so the hint is a learned per-synthesizer
-                # payload/raw ratio (EWMA, updated in finish) with +15%
-                # margin; an undershoot falls back to the exact-sized
-                # remainder path, an overshoot ships ≤15% padding zeros —
-                # bytes the link compresses in flight and the honest d2h
-                # counter (pull_wire moved_out) now reports.
+                # payload/raw ratio (EWMA, updated in finish) with +2%
+                # margin. The margin is deliberately THIN: an undershoot
+                # falls back to the exact-sized 256 KB-quantized
+                # remainder page (latency the pipeline overlaps), while
+                # overshoot bytes cross the link for nothing — a +15%
+                # margin measured ~3 MB of padding per 480 s corpus
+                # (d2h 18.6 vs ~15.6 MB payload), and on this link bytes,
+                # not round trips, are the budget (overlap hides latency,
+                # not bytes). The honest d2h counter (pull_wire
+                # moved_out) reports every page byte either way.
                 fmt_nbt = merged_out[2]
                 _hdr = wire_header_bytes(synth.channels)
                 _ratio = getattr(synth, "_wire_ratio", None)
-                _r = 0.32 if _ratio is None else min(
-                    max(_ratio * 1.15, 0.02), 1.3
+                _r = 0.34 if _ratio is None else min(
+                    max(_ratio * 1.02, 0.02), 1.3
                 )
                 merged_out = merged_out + (
                     start_page0(

@@ -584,8 +584,13 @@ def pack_pcm(
 #: per buffer shape, each compiled once and cached persistently)
 _PAGE_BIG = 4 << 20
 #: slice-size quantum shared by start_page0 and pull_wire's tail: both
-#: must agree or the compiled-size set doubles
-_PAGE_QUANTUM = 256 << 10
+#: must agree or the compiled-size set doubles. 64 KB: the quantized
+#: waste (avg quantum/2 per sized page, two sized pages per chunk) is
+#: pure link cost — at 256 KB it measured ~1.4 MB per 480 s corpus
+#: (d2h 16.8 vs 15.4 MB payload); the price is a larger slice-program
+#: set (bounded at _PAGE_BIG/quantum per buffer shape, ~1 s each, and
+#: only the handful of sizes a corpus family actually hits compile)
+_PAGE_QUANTUM = 64 << 10
 
 _page_fns: dict = {}
 
