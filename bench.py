@@ -318,24 +318,30 @@ def main() -> None:
     max_reps = 5
     for rep in range(max_reps):
         st0 = dict(timer.stages)
+        ct0 = dict(timer.counters)
         t0 = time.perf_counter()
         decode_corpus(corpus, output="s16", timer=timer)
         rep_rtfs.append(total_audio / (time.perf_counter() - t0))
-        # Per-rep ceiling from the rep's OWN transfer walls — the same
-        # weather as the rep by construction (VERDICT r4 weak #4: the old
-        # formula mixed a max-of-two-moments link rate with each rep's
-        # moment). "dispatch" is h2d-dominated on this link and
-        # "collect_pull" is the lock-serialized d2h window; the ceiling is
-        # the RTF the rep would score if its wall were ONLY those transfer
-        # walls run back-to-back. fraction > 1 means pipelining beat the
-        # serialized-transfer bound.
-        xfer_s = (
-            timer.stages.get("dispatch", 0.0)
-            - st0.get("dispatch", 0.0)
-            + timer.stages.get("collect_pull", 0.0)
-            - st0.get("collect_pull", 0.0)
+        # Per-rep ceiling from the rep's OWN transfer occupancy — the
+        # same weather as the rep by construction (VERDICT r4 weak #4:
+        # the old formula mixed a max-of-two-moments link rate with each
+        # rep's moment). "collect_pull" counts lock-held pull time only
+        # (pulls serialize, so the sum is true d2h link occupancy); the
+        # h2d side shares the same aggregate pipe and is folded in by
+        # byte ratio. The ceiling is the RTF the rep would score if its
+        # wall were ONLY transfers; fraction -> 1 means transfer-bound
+        # at this weather.
+        pull_s = timer.stages.get("collect_pull", 0.0) - st0.get(
+            "collect_pull", 0.0
         )
-        if xfer_s > 0:
+        d2h_rep = timer.counters.get("d2h_bytes", 0) - ct0.get(
+            "d2h_bytes", 0
+        )
+        h2d_rep = timer.counters.get("h2d_bytes", 0) - ct0.get(
+            "h2d_bytes", 0
+        )
+        if pull_s > 0 and d2h_rep > 0:
+            xfer_s = pull_s * (1.0 + h2d_rep / d2h_rep)
             rep_ceilings.append(total_audio / xfer_s)
             rep_fracs.append(rep_rtfs[-1] / rep_ceilings[-1])
         # record the best-known median after every rep (run-to-run tunnel

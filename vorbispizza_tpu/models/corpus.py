@@ -384,7 +384,14 @@ def decode_corpus(
                     page0 = arr[5] if len(arr) > 5 else None
                     try:
                         t.mark(f"c{cid}.pull_wait")
-                        with t.stage("collect_pull"), _pull_lock:
+                        # the LOCK is taken outside the stage: pulls
+                        # serialize across collector threads, so with
+                        # lock-wait excluded the stage sums to the true
+                        # link occupancy (bench derives the per-rep
+                        # transfer ceiling from it); wrapped the other
+                        # way, three waiting threads count the same
+                        # seconds three times (measured fraction 2.1)
+                        with _pull_lock, t.stage("collect_pull"):
                             t.mark(f"c{cid}.pull0")
                             # the first page carries [nbytes][widx] +
                             # payload head (fixed-shape pages: no
