@@ -68,6 +68,61 @@ def test_unwrap_matches_scalar_anchor(multiplier):
     np.testing.assert_array_equal(np.asarray(step2), want_step2)
 
 
+def test_ys_wire_static_gate():
+    """The coded-ys wire is only taken when every subclass book's entry
+    numbers fit u8 (values are book ENTRY numbers, bounded statically);
+    otherwise the posts+step2 wire must be chosen — and a missing ys
+    capture must also fall back."""
+    from types import SimpleNamespace
+
+    from vorbispizza_tpu.frames import BucketBatch, FloorGroup
+    from vorbispizza_tpu.models.pipeline import BatchSynthesizer
+
+    small = SimpleNamespace(entries=256)
+    big = SimpleNamespace(entries=257)
+    fl_ok = SimpleNamespace(subclass_books=[[small, None], [small]])
+    fl_big = SimpleNamespace(subclass_books=[[small], [big, None]])
+    assert BatchSynthesizer._floor1_ys_ok(fl_ok) is True
+    assert BatchSynthesizer._floor1_ys_ok(fl_big) is False
+
+    def bucket_with(floor, ys):
+        g = FloorGroup(floor=floor, channels=[0, 1])
+        g.ys = ys
+        g.posts = np.zeros((1, 2, 4), dtype=np.int32)
+        g.step2 = np.zeros((1, 2, 4), dtype=bool)
+        g.used = np.ones((1, 2), dtype=bool)
+        return BucketBatch(
+            key=("k",),
+            n=256,
+            frame_indices=np.zeros(1, dtype=np.int64),
+            offsets=np.zeros(1, dtype=np.int32),
+            prime=np.zeros(1, dtype=bool),
+            final=np.zeros(1, dtype=bool),
+            residues=None,
+            floor_groups=[g],
+        )
+
+    fl1 = SimpleNamespace(
+        floor_type=1,
+        subclass_books=[[small]],
+        xs=np.array([0, 64, 16, 48]),
+        multiplier=2,
+    )
+    ys = np.zeros((1, 2, 4), dtype=np.int16)
+    metas, _ = BatchSynthesizer._group_meta(bucket_with(fl1, ys))
+    assert dict(metas[0]).get("wire") == "ys"
+    metas, _ = BatchSynthesizer._group_meta(bucket_with(fl1, None))
+    assert dict(metas[0]).get("wire") is None
+    fl_bad = SimpleNamespace(
+        floor_type=1,
+        subclass_books=[[big]],
+        xs=np.array([0, 64, 16, 48]),
+        multiplier=2,
+    )
+    metas, _ = BatchSynthesizer._group_meta(bucket_with(fl_bad, ys))
+    assert dict(metas[0]).get("wire") is None
+
+
 def test_unwrap_small_config():
     """Minimal 2-post floor (no cascade steps at all)."""
     fl = _make_floor(np.random.default_rng(7), 6, 0, 2)
