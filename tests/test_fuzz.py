@@ -30,6 +30,19 @@ def test_fuzz_encoder_configs(trial):
     assert np.abs(got - ref).max() <= 2e-6
 
 
+def test_fuzz_regression_shard_ys_clone():
+    """Offline-fuzzer regression (seed 9003): a sharded corpus where one
+    shard is missing a bucket key gets a zero-frame clone — the clone
+    must preserve coded-ys availability or that shard falls back to the
+    posts wire while the others pick ys, and the shard sigs refuse to
+    unify (ShardMismatch)."""
+    from vorbispizza_tpu.tools.fuzz import _one_trial
+
+    rng = np.random.default_rng(9003)
+    status = _one_trial(rng)
+    assert status in ("ok", "skip", "reject"), status
+
+
 @pytest.mark.parametrize("mode", ["bitflip", "truncate", "shear"])
 def test_fuzz_corruption(mode):
     base = encode_vorbis(make_signal(2, 0.8, kind="music", seed=5), quality=0.4)

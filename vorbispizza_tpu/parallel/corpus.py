@@ -64,6 +64,11 @@ def _empty_bucket(ref: BucketBatch) -> BucketBatch:
         if g.floor.floor_type == 1:
             ng.posts = np.zeros((0, nc, g.posts.shape[2]), g.posts.dtype)
             ng.step2 = np.zeros((0, nc, g.step2.shape[2]), g.step2.dtype)
+            if g.ys is not None:
+                # the clone must preserve ys availability or this shard
+                # falls back to the posts wire while the others pick the
+                # coded-ys wire -> ShardMismatch (fuzz seed 9003)
+                ng.ys = np.zeros((0, nc, g.ys.shape[2]), g.ys.dtype)
         else:
             ng.coefficients = np.zeros(
                 (0, nc, g.coefficients.shape[2]), g.coefficients.dtype
